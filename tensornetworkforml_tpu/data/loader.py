@@ -1,0 +1,145 @@
+"""Host data pipeline: datasets, splits, batching. No torch dependency.
+
+The reference uses ``torch.utils.data`` purely as batching plumbing
+(``data_generator.py:90-194``): a ``NumpyDataset``, ``SubsetRandomSampler``
+train/val split, and loaders with an identity collate that yield lists of
+``(x, y)`` numpy pairs. This module reimplements that surface standalone:
+
+* ``ArrayLoader`` iterates like the reference loaders (lists of pairs) for
+  API parity, and additionally exposes ``.batches()`` yielding stacked
+  ``(x, y)`` arrays -- the fast path the trainer uses (one host->device
+  transfer per batch).
+* ``prepare_dataset`` matches the reference signature/semantics: flatten,
+  psi-embed, train/test split by percentage, validation carved from the
+  train set, ``drop_last`` on train/val.
+
+Embedding on the host is kept for parity mode; the TPU fast path ships RAW
+pixels and embeds on device (see ``ops/embedding.py``), halving host->device
+traffic for D=2.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class NumpyDataset:
+    """Minimal map-style dataset over parallel numpy arrays (reference
+    ``data_generator.py:90-122`` equivalent, torch-free)."""
+
+    def __init__(self, data: np.ndarray, label: np.ndarray):
+        self.data = data
+        self.label = label
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def __getitem__(self, index):
+        return (self.data[index], self.label[index])
+
+
+class ArrayLoader:
+    """Batched loader over (a subset of) a dataset.
+
+    Iterating yields reference-style lists of ``(x_i, y_i)`` pairs;
+    ``batches()`` yields stacked ``(x, y)`` arrays. With ``shuffle=True`` the
+    subset order is re-drawn each epoch (``SubsetRandomSampler`` semantics).
+    """
+
+    def __init__(
+        self,
+        dataset: NumpyDataset,
+        batch_size: int,
+        indices: Optional[np.ndarray] = None,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.indices = (
+            np.arange(len(dataset)) if indices is None else np.asarray(indices)
+        )
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = self.indices
+        if self.shuffle:
+            idx = self._rng.permutation(idx)
+        return idx
+
+    def batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = self._epoch_indices()
+        for b in range(len(self)):
+            sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            yield self.dataset.data[sel], self.dataset.label[sel]
+
+    def __iter__(self):
+        for xb, yb in self.batches():
+            yield [(xb[i], yb[i]) for i in range(len(xb))]
+
+
+def psi_embed_host(x: np.ndarray) -> np.ndarray:
+    """Host-side psi embedding ``(..., N) -> (..., N, 2)`` (parity mode)."""
+    half_pi_x = (np.pi / 2.0) * x
+    return np.stack([np.sin(half_pi_x), np.cos(half_pi_x)], axis=-1)
+
+
+def prepare_dataset(
+    data: np.ndarray,
+    label: np.ndarray,
+    train_perc: float,
+    val_perc: float,
+    train_batch_size: int,
+    val_batch_size: int,
+    test_batch_size: int,
+    embed: bool = True,
+    seed: Optional[int] = None,
+):
+    """Flatten, (optionally) embed, split, and build the three loaders.
+
+    Matches the reference ``prepare_dataset`` (``data_generator.py:125-194``):
+    first ``train_perc`` of the samples are train (of which the LAST
+    ``val_perc`` fraction is validation), the rest test; train/val loaders
+    shuffle and drop the last partial batch, the test loader does neither.
+
+    With ``embed=False`` the loaders yield raw flattened pixels ``(B, N)``
+    for on-device embedding (the TPU fast path).
+    """
+    x = np.asarray(data).reshape(len(data), -1)
+    if embed:
+        x = psi_embed_host(x)
+
+    m = int(len(x) * train_perc)
+    train_set = NumpyDataset(x[:m], np.asarray(label)[:m])
+    test_set = NumpyDataset(x[m:], np.asarray(label)[m:])
+
+    train_len = int(m * (1 - val_perc))
+    train_loader = ArrayLoader(
+        train_set,
+        train_batch_size,
+        indices=np.arange(train_len),
+        shuffle=True,
+        drop_last=True,
+        seed=seed,
+    )
+    val_loader = ArrayLoader(
+        train_set,
+        val_batch_size,
+        indices=np.arange(train_len, m),
+        shuffle=True,
+        drop_last=True,
+        seed=None if seed is None else seed + 1,
+    )
+    test_loader = ArrayLoader(test_set, test_batch_size, drop_last=False)
+    return train_loader, val_loader, test_loader

@@ -1,0 +1,276 @@
+"""The MPS classifier model: parameter container, init/calibration, forward.
+
+Model family: label-leg Matrix Product State classifier (Stoudenmire-Schwab,
+arXiv:1605.05775), the model the reference implements in
+``TensorNetwork/Network_class.py``.
+
+TPU-native parameterisation (vs the reference's ragged per-site list,
+``Network_class.py:145-148``):
+
+* ``sites``: ONE array ``(N, M, D, M)`` -- every non-label site padded to
+  uniform bond dimension M. The open chain ends are closed by contracting
+  with the one-hot boundary vector ``e0``; edge sites keep zero entries
+  outside their true bond (exactly preserved by gradient + SVD updates).
+* ``label_site``: the site currently carrying the label leg, ``(M, D, L, M)``.
+  The slot ``sites[l_pos]`` is unused (kept zero) while the label sits there.
+* ``l_pos`` and the activation/loss names are static (hashable) fields so a
+  training step compiles once per sweep direction.
+
+Everything here is pure-functional: init / forward / activation are jittable
+functions over the ``MPS`` pytree.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from tensornetworkforml_tpu.ops.contractions import (
+    boundary_vector,
+    chain_scores,
+    left_env_final,
+    right_env_final,
+    site_mats,
+)
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+
+ACT_FNS = ("linear", "sigmoid", "softmax")
+LOSS_FNS = ("MSE", "cross_entropy", "full_cross_ent")
+
+
+@struct.dataclass
+class MPS:
+    """Label-leg MPS classifier parameters (a JAX pytree).
+
+    Array leaves: ``sites (N, M, D, M)``, ``label_site (M, D, L, M)``.
+    Static fields: ``l_pos``, ``act_fn``, ``loss_fn``, ``T``.
+    """
+
+    sites: jnp.ndarray
+    label_site: jnp.ndarray
+    l_pos: int = struct.field(pytree_node=False, default=0)
+    act_fn: str = struct.field(pytree_node=False, default="linear")
+    loss_fn: str = struct.field(pytree_node=False, default="cross_entropy")
+    T: float = struct.field(pytree_node=False, default=0.1)
+
+    @property
+    def N(self) -> int:
+        return self.sites.shape[0]
+
+    @property
+    def M(self) -> int:
+        return self.sites.shape[1]
+
+    @property
+    def D(self) -> int:
+        return self.sites.shape[2]
+
+    @property
+    def L(self) -> int:
+        return self.label_site.shape[2]
+
+    @property
+    def dtype(self):
+        return self.sites.dtype
+
+
+def mps_init(
+    key: jax.Array,
+    N: int,
+    M: int,
+    D: int = 2,
+    L: int = 10,
+    T: float = 0.1,
+    normalize: bool = False,
+    calibration_phi: Optional[jnp.ndarray] = None,
+    act_fn: str = "linear",
+    loss_fn: str = "cross_entropy",
+    dtype=jnp.float32,
+    check: bool = False,
+) -> MPS:
+    """Build and (optionally) calibrate a fresh MPS.
+
+    Mirrors the reference constructor semantics (``Network_class.py:84-191``):
+    entries uniform in [0,1] scaled by the magnitude heuristic
+    ``M * 0.5 * 0.64 * D`` when ``normalize`` is set, followed by a two-pass
+    output calibration that rescales every site by ``max|f|^(1/N)`` so the
+    un-activated output is O(1) on a calibration batch.
+
+    ``calibration_phi`` is an already-embedded batch ``(B, N, D)``; if None
+    and ``normalize`` is set, a random embedded batch of 16 samples is drawn
+    (reference ``:150-163``).
+    """
+    assert act_fn in ACT_FNS, f"act_fn must be one of {ACT_FNS}"
+    assert loss_fn in LOSS_FNS, f"loss_fn must be one of {LOSS_FNS}"
+
+    scale = float(M) * 0.5 * 0.64 * D if normalize else 1.0
+    k_label, k_mid, k_last, k_cal = jax.random.split(key, 4)
+
+    # Label leg starts at site 0 (reference `l_pos = 0`, :124). Only the
+    # left-boundary row of the edge sites is populated; padding stays zero.
+    label_site = jnp.zeros((M, D, L, M), dtype=dtype)
+    label_site = label_site.at[0].set(
+        jax.random.uniform(k_label, (D, L, M), dtype=dtype) / scale
+    )
+
+    sites = jnp.zeros((N, M, D, M), dtype=dtype)
+    if N > 2:
+        mid = jax.random.uniform(k_mid, (N - 2, M, D, M), dtype=dtype) / scale
+        sites = sites.at[1 : N - 1].set(mid)
+    last = jax.random.uniform(k_last, (M, D), dtype=dtype) / scale
+    sites = sites.at[N - 1, :, :, 0].set(last)
+
+    mps = MPS(
+        sites=sites,
+        label_site=label_site,
+        l_pos=0,
+        act_fn=act_fn,
+        loss_fn=loss_fn,
+        T=T,
+    )
+
+    if normalize:
+        if calibration_phi is None:
+            x_raw = jax.random.uniform(k_cal, (16, N), dtype=dtype)
+            calibration_phi = psi_embed(x_raw)
+        mps = calibrate(mps, calibration_phi.astype(dtype), check=check)
+
+    return mps
+
+
+def calibrate(mps: MPS, phi: jnp.ndarray, check: bool = False) -> MPS:
+    """Two-pass output calibration (reference ``Network_class.py:165-182``).
+
+    Rescales every site by ``max|f|^(1/N)`` so outputs are O(1).
+    """
+    f = mps_forward(mps, phi)
+    f_max = jnp.max(jnp.abs(f))
+    F2 = f_max ** (1.0 / mps.N)
+    mps = mps.replace(sites=mps.sites / F2, label_site=mps.label_site / F2)
+    if check:
+        f2 = mps_forward(mps, phi)
+        print(f"calibration: max|f| before={float(f_max):.4g} "
+              f"after={float(jnp.max(jnp.abs(f2))):.4g}")
+    return mps
+
+
+@partial(jax.jit, static_argnames=("l_pos",))
+def _forward_arrays(sites, label_site, phi, l_pos: int):
+    N, M, D, _ = sites.shape
+    B = phi.shape[0]
+    e0 = boundary_vector(M, dtype=sites.dtype)
+    mats = site_mats(sites, phi)
+
+    if l_pos > 0:
+        left = left_env_final(mats[:l_pos], e0)
+    else:
+        left = jnp.broadcast_to(e0, (B, M))
+    if l_pos < N - 1:
+        right = right_env_final(mats[l_pos + 1 :], e0)
+    else:
+        right = jnp.broadcast_to(e0, (B, M))
+
+    return chain_scores(left, label_site, phi[:, l_pos, :], right)
+
+
+def mps_forward(mps: MPS, phi: jnp.ndarray) -> jnp.ndarray:
+    """Un-activated class scores ``(L, B)`` for embedded input ``(B, N, D)``.
+
+    Reference equivalent: ``Network.forward`` (``Network_class.py:195-258``),
+    which only supports the label leg at an end of the chain; here any
+    ``l_pos`` works. The contraction is the single chain
+    ``e0 . A_0(x_0) ... label_site(x_l) ... A_{N-1}(x_{N-1}) . e0``
+    evaluated with two environment scans that meet at the label site.
+    """
+    assert phi.shape[1] == mps.N, (
+        "input site dimension must match the number of MPS sites"
+    )
+    return _forward_arrays(
+        mps.sites, mps.label_site, phi.astype(mps.dtype), mps.l_pos
+    )
+
+
+def apply_act_fn(scores: jnp.ndarray, act_fn: str, T: float) -> jnp.ndarray:
+    """Output activation over the label axis (axis 0).
+
+    Reference: ``Network.apply_act_func`` (``Network_class.py:767-796``) --
+    identity, temperature sigmoid, or temperature softmax.
+    """
+    if act_fn == "linear":
+        return scores
+    elif act_fn == "sigmoid":
+        return jax.nn.sigmoid(scores / T)
+    elif act_fn == "softmax":
+        return jax.nn.softmax(scores / T, axis=0)
+    raise ValueError(f"unknown act_fn {act_fn!r}")
+
+
+def loss_derivative(
+    f_act: jnp.ndarray, y_onehot: jnp.ndarray, loss_fn: str, act_fn: str, T: float
+) -> jnp.ndarray:
+    """Analytic dLoss/df, defined so that ASCENT steps descend the loss.
+
+    Matches ``Network.compute_loss_derivate`` (``Network_class.py:800-835``):
+      * MSE:            y - f
+      * cross_entropy:  (y - y*f)/T  when paired with softmax (simplified
+                        softmax+CE gradient, :826-828), else y/f
+      * full_cross_ent: 1 / (f - 1[y==0] + 1e-4)
+    """
+    if loss_fn == "MSE":
+        return y_onehot - f_act
+    elif loss_fn == "cross_entropy":
+        if act_fn == "softmax":
+            return (y_onehot - y_onehot * f_act) / T
+        return y_onehot / f_act
+    elif loss_fn == "full_cross_ent":
+        return 1.0 / (f_act - (1.0 - y_onehot) + 1e-4)
+    raise ValueError(f"unknown loss_fn {loss_fn!r}")
+
+
+def accuracy_from_scores(scores: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of correct argmax predictions; ``scores (L,B)``, ``y (B,)``."""
+    y_pred = jnp.argmax(scores, axis=0)
+    return jnp.mean((y_pred == y).astype(scores.dtype))
+
+
+def predict(mps: MPS, x_raw: jnp.ndarray) -> jnp.ndarray:
+    """Predicted labels ``(B,)`` from RAW pixels ``(B, N)`` in [0, 1]."""
+    scores = mps_forward(mps, psi_embed(x_raw.astype(mps.dtype)))
+    return jnp.argmax(scores, axis=0)
+
+
+def ragged_site_list(mps: MPS) -> list:
+    """Export sites as the reference's ragged per-site tensors (numpy).
+
+    Returns a list of N numpy arrays with the reference's axis conventions
+    (``Network_class.py:145-148``): first site ``(L, M, D)`` [l, right, d],
+    middle ``(M, M, D)`` [left, right, d], last ``(M, D)`` [left, d]; the
+    site at ``l_pos`` carries an extra label axis. Padding is NOT stripped
+    (bond dims are reported as M). Intended for interop/debugging.
+    """
+    import numpy as np
+
+    out = []
+    sites = np.asarray(mps.sites)
+    label = np.asarray(mps.label_site)  # (M, D, L, M)
+    for n in range(mps.N):
+        if n == mps.l_pos:
+            if n == 0:
+                out.append(np.transpose(label[0], (1, 2, 0)))  # (L, M<-right, D)
+            elif n == mps.N - 1:
+                out.append(np.transpose(label[:, :, :, 0], (0, 2, 1)))  # (left, L, D)
+            else:
+                out.append(np.transpose(label, (0, 3, 2, 1)))  # (left,right,L,d)
+        else:
+            A = sites[n]  # (left, d, right)
+            if n == 0:
+                out.append(A[0].T[None])  # degenerate; unused in practice
+            elif n == mps.N - 1:
+                out.append(A[:, :, 0])  # (left, d)
+            else:
+                out.append(np.transpose(A, (0, 2, 1)))  # (left, right, d)
+    return out

@@ -1,0 +1,162 @@
+"""The fixed contraction set of the MPS classifier, as einsums + scans.
+
+The reference routes every contraction through a generic named-axis
+``contract`` that physically permutes both operands and broadcast-multiplies
+(``custom_linalg_tools.py:10-87``); its own profiling shows >77% of the time
+goes to transposes/reshapes, not math (SURVEY.md section 6). Here each of the
+~8 distinct contraction patterns of the algorithm is a fixed einsum with
+static shapes so XLA tiles them onto the MXU, and the sequential
+site-chain structure (the reference's ``r_cum_contraction`` /
+``l_cum_contraction`` caches, ``Network_class.py:231-255``) becomes
+``lax.scan`` prefix/suffix scans.
+
+Index naming convention used throughout (einsum subscripts):
+    ``n`` site index,  ``b`` batch,  ``l``/``r`` left/right bond (dim M),
+    ``d`` physical/feature leg (dim D),  ``o`` output label leg (dim L).
+
+Shapes:
+    sites       (N, M, D, M)   padded uniform site stack
+    label_site  (M, D, L, M)   the site carrying the label leg
+    phi         (B, N, D)      embedded input
+    mats        (N, B, M, M)   per-site input-contracted transfer matrices
+    envs        (B, M)         left/right environment vectors
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def boundary_vector(M: int, dtype=jnp.float32) -> jnp.ndarray:
+    """One-hot boundary vector ``e0`` closing the padded open chain.
+
+    The reference gives edge sites smaller shapes (``Network_class.py:145-148``,
+    first site ``[L, M, D]``, last ``[M, D]``). We instead pad every site to
+    ``(M, D, M)`` and contract the chain ends with ``e0``; zero rows/columns
+    of the edge sites are exactly preserved by both the gradient update and
+    the SVD split, so this is numerically identical while letting one scan
+    body serve all sites.
+    """
+    return jnp.zeros((M,), dtype=dtype).at[0].set(1.0)
+
+
+def site_mats(sites: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
+    """Contract every site with its input feature: ``(N,B,M,M)`` transfer mats.
+
+    Reference equivalent: the ``A_TX`` list (``Network_class.py:227``), but as
+    one batched matmul over all sites at once (contracting the ``d`` leg).
+    """
+    return jnp.einsum("nldr,bnd->nblr", sites, phi)
+
+
+def left_env_stack(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
+    """All left (prefix) environments: out[n] = e0 . mats[0] ... mats[n-1].
+
+    Returns ``(N+1, B, M)``; ``out[0]`` is the broadcast boundary vector.
+    Reference equivalent: ``l_cum_contraction`` (``Network_class.py:244-255``).
+    """
+    N, B, M, _ = mats.shape
+    v0 = jnp.broadcast_to(e0, (B, M))
+
+    def step(v, mat):
+        v_new = jnp.einsum("bl,blr->br", v, mat)
+        return v_new, v_new
+
+    _, ys = jax.lax.scan(step, v0, mats)
+    return jnp.concatenate([v0[None], ys], axis=0)
+
+
+def right_env_stack(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
+    """All right (suffix) environments: out[n] = mats[n] ... mats[N-1] . e0.
+
+    Returns ``(N+1, B, M)``; ``out[N]`` is the broadcast boundary vector.
+    Reference equivalent: ``r_cum_contraction`` (``Network_class.py:231-242``).
+    """
+    N, B, M, _ = mats.shape
+    v0 = jnp.broadcast_to(e0, (B, M))
+
+    def step(v, mat):
+        v_new = jnp.einsum("blr,br->bl", mat, v)
+        return v_new, v_new
+
+    _, ys = jax.lax.scan(step, v0, mats, reverse=True)
+    return jnp.concatenate([ys, v0[None]], axis=0)
+
+
+def left_env_final(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
+    """Just the final left environment ``(B, M)`` (no stacked prefixes)."""
+    N, B, M, _ = mats.shape
+    v0 = jnp.broadcast_to(e0, (B, M))
+
+    def step(v, mat):
+        return jnp.einsum("bl,blr->br", v, mat), None
+
+    v, _ = jax.lax.scan(step, v0, mats)
+    return v
+
+
+def right_env_final(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
+    """Just the final right environment ``(B, M)``."""
+    N, B, M, _ = mats.shape
+    v0 = jnp.broadcast_to(e0, (B, M))
+
+    def step(v, mat):
+        return jnp.einsum("blr,br->bl", mat, v), None
+
+    v, _ = jax.lax.scan(step, v0, mats, reverse=True)
+    return v
+
+
+def chain_scores(
+    left_env: jnp.ndarray,
+    label_site: jnp.ndarray,
+    x_label: jnp.ndarray,
+    right_env: jnp.ndarray,
+) -> jnp.ndarray:
+    """Unactivated class scores ``(L, B)``.
+
+    Closes the chain: left env x label-site x its input feature x right env.
+    Matches the reference ``forward`` output layout (label axis first,
+    ``Network_class.py:195-258``).
+    """
+    return jnp.einsum("bl,ldor,bd,br->ob", left_env, label_site, x_label, right_env)
+
+
+def transfer_suffix_stack(sites: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
+    """Suffix products of L2 transfer matrices, ``(N+1, M, M)``.
+
+    ``out[n] = T_n T_{n+1} ... T_{N-1} . (e0 e0^T)`` where
+    ``T_n[l l', r r'] = sum_d A_n[l,d,r] A_n[l',d,r']`` -- the
+    transfer-matrix contraction of a site with itself used by the exact L2
+    norm of the full MPS (reference ``compute_L2_reg``,
+    ``Network_class.py:1034-1063``).
+    """
+    N, M, D, _ = sites.shape
+    E0 = jnp.outer(e0, e0)
+
+    def step(E, A):
+        E_new = jnp.einsum("ldr,rs,mds->lm", A, E, A)
+        return E_new, E_new
+
+    _, ys = jax.lax.scan(step, E0, sites, reverse=True)
+    return jnp.concatenate([ys, E0[None]], axis=0)
+
+
+def transfer_append(E: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Extend a left L2 transfer product by one site: ``E' = A^T E A`` over d.
+
+    ``E'[r,r'] = sum_{l l' d} A[l,d,r] E[l,l'] A[l',d,r']`` (reference's
+    incremental ``left_contr`` extension, ``Network_class.py:1017-1029``).
+    """
+    return jnp.einsum("ldr,lm,mds->rs", A, E, A)
+
+
+def env_apply_site(
+    left_env: jnp.ndarray, x: jnp.ndarray, site: jnp.ndarray
+) -> jnp.ndarray:
+    """Extend a left environment by one (input-contracted) site.
+
+    ``v'[b,r] = sum_{l,d} v[b,l] x[b,d] A[l,d,r]``.
+    """
+    return jnp.einsum("bl,bd,ldr->br", left_env, x, site)

@@ -1,0 +1,284 @@
+"""DMRG-style two-site sweep, compiled as ONE ``lax.scan`` over sites.
+
+This is the training hot path, the TPU-native re-design of the reference's
+``sweep`` / ``sweep_step`` / ``update_B`` / ``tensor_svd`` Python loop
+(``Network_class.py:384-962``). Semantics are kept exactly:
+
+* one full sweep per batch; environments to the RIGHT of the active pair are
+  STALE (precomputed by the batch forward), environments to the LEFT are
+  extended incrementally with the just-updated site (reference
+  ``Network_class.py:637-652``);
+* analytic gradient of the chosen loss o activation, summed over the batch;
+* exact L2 regularisation of the FULL MPS via transfer matrices (reference
+  ``compute_L2_reg``): right transfer products are precomputed once per sweep
+  (sites right of the pair are untouched during a sweep, so this equals the
+  reference's per-step recomputation), the left product is carried;
+* L1-style gradient clipping (rescale if sum|dB| > sum|B|,
+  ``Network_class.py:753-757``), ascent step ``B + lr*dB``;
+* truncated SVD split with sqrt(S) shared between factors, fixed rank M.
+
+The padded-uniform site representation (see ``models/mps.py``) removes every
+edge/middle special case, so the whole sweep is a single scan body; a LEFT
+sweep is a RIGHT sweep on the mirrored chain (site order reversed, bond
+indices swapped), which compiles the sweep engine exactly once per direction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tensornetworkforml_tpu.models.mps import (
+    MPS,
+    apply_act_fn,
+    loss_derivative,
+)
+from tensornetworkforml_tpu.ops.contractions import (
+    boundary_vector,
+    chain_scores,
+    right_env_stack,
+    site_mats,
+    transfer_append,
+    transfer_suffix_stack,
+)
+from tensornetworkforml_tpu.ops.svd import truncated_svd_split
+
+
+class SweepConfig(NamedTuple):
+    """Static sweep hyper-structure (hashable; part of the jit key)."""
+
+    act_fn: str = "softmax"
+    loss_fn: str = "full_cross_ent"
+    L2_flag: bool = True
+    svd_method: str = "svd"
+    debug: bool = False
+
+
+def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
+    """Reverse the chain and swap left/right bond legs: (n,l,d,r)->(~n,r,d,l)."""
+    return jnp.flip(sites, axis=0).transpose(0, 3, 2, 1)
+
+
+def _mirror_label(label_site: jnp.ndarray) -> jnp.ndarray:
+    """(l,d,o,r) -> (r,d,o,l)."""
+    return label_site.transpose(3, 1, 2, 0)
+
+
+def _sweep_right_arrays(
+    sites: jnp.ndarray,
+    label_site: jnp.ndarray,
+    phi: jnp.ndarray,
+    y_onehot: jnp.ndarray,
+    lr: jnp.ndarray,
+    weight_dec: jnp.ndarray,
+    T: float,
+    cfg: SweepConfig,
+):
+    """One full right sweep (label leg moves 0 -> N-1). Returns
+    ``(new_sites, new_label_site, f_first, f_final, metrics)``.
+
+    ``metrics`` holds per-step series of length N-1 (accuracy, MAE, and the
+    debug series of the reference's ``var_hist``, ``Network_class.py:739-750``).
+    """
+    N, M, D, _ = sites.shape
+    L = label_site.shape[2]
+    B_sz = phi.shape[0]
+    dtype = sites.dtype
+    e0 = boundary_vector(M, dtype=dtype)
+
+    # --- per-batch precomputation (the reference's `forward` + env caches) ---
+    mats = site_mats(sites, phi)  # (N,B,M,M); index 0 unused (label there)
+    r_envs = right_env_stack(mats, e0)  # (N+1,B,M), stale during the sweep
+    f0 = chain_scores(
+        jnp.broadcast_to(e0, (B_sz, M)), label_site, phi[:, 0, :], r_envs[1]
+    )
+    if cfg.L2_flag:
+        r2 = transfer_suffix_stack(sites, e0)  # (N+1,M,M), exact: right sites
+        # are untouched during a right sweep.
+    else:
+        r2 = jnp.zeros((N + 1, M, M), dtype=dtype)
+
+    xs = (
+        phi[:, :-1, :].transpose(1, 0, 2),  # x1s  (N-1,B,D)
+        phi[:, 1:, :].transpose(1, 0, 2),  # x2s  (N-1,B,D)
+        sites[1:],  # A2s  (N-1,M,D,M): reads are always pre-sweep sites
+        r_envs[2:],  # stale right environments, step l uses r_envs[l+2]
+        r2[2:],  # stale right transfer products
+    )
+
+    def step(carry, x):
+        label, l_env, E2, f = carry
+        x1, x2, A2, r_env, r2_step = x
+
+        # merge the active pair: B[a,i,o,j,c] (left,d1,label,d2,right)
+        B_t = jnp.einsum("aiok,kjc->aiojc", label, A2)
+
+        # metrics on the CURRENT output (pre-update), as the reference does
+        f_act = apply_act_fn(f, cfg.act_fn, T)
+        y_pred = jnp.argmax(f_act, axis=0)
+        y_true = jnp.argmax(y_onehot, axis=0)
+        acc = jnp.mean((y_pred == y_true).astype(dtype))
+        mae = jnp.mean(jnp.abs(y_onehot - f_act))
+
+        # analytic gradient: dB[a,i,o,j,c] = sum_b loss_der[o,b] *
+        #   l_env[b,a] x1[b,i] x2[b,j] r_env[b,c]
+        loss_der = loss_derivative(f_act, y_onehot, cfg.loss_fn, cfg.act_fn, T)
+        left_part = jnp.einsum("ba,bi->bai", l_env, x1)  # (B,M,D)
+        right_part = jnp.einsum("bj,bc->bjc", x2, r_env)  # (B,D,M)
+        u_t = jnp.einsum("ob,bai->boai", loss_der, left_part)
+        deltaB = jnp.einsum("boai,bjc->aiojc", u_t, right_part)
+
+        # regularisation (exact L2 of the whole MPS, or plain decay)
+        if cfg.L2_flag:
+            deriv = jnp.einsum("aA,AiojC,Cc->aiojc", E2, B_t, r2_step)
+            l2_loss = weight_dec * jnp.sum(B_t * deriv)
+            l2_grad = 2.0 * weight_dec * deriv
+        else:
+            l2_loss = jnp.zeros((), dtype=dtype)
+            l2_grad = weight_dec * B_t
+        deltaB = deltaB - l2_grad
+
+        mean_abs_dB = jnp.mean(jnp.abs(deltaB))  # recorded pre-clip (ref :742)
+
+        # L1 gradient clipping (Network_class.py:753-757)
+        s_B = jnp.sum(jnp.abs(B_t))
+        s_dB = jnp.sum(jnp.abs(deltaB))
+        deltaB = deltaB * jnp.where(s_dB > s_B, s_B / s_dB, 1.0)
+
+        # ascent step (loss derivatives are defined so ascent == descent)
+        B_new = B_t + lr * deltaB
+
+        # recompute the network output with the updated B (stale right env)
+        f_new = jnp.einsum("bai,aiojc,bjc->ob", left_part, B_new, right_part)
+
+        # split back: rows (a,i), cols (o,j,c); truncate to bond dim M
+        bmat = B_new.reshape(M * D, L * D * M)
+        left_flat, right_flat = truncated_svd_split(bmat, M, cfg.svd_method)
+        A_left = left_flat.reshape(M, D, M)
+        label_new = right_flat.reshape(M, L, D, M).transpose(0, 2, 1, 3)
+
+        # extend the carried left environment / left transfer product with
+        # the UPDATED site (reference Network_class.py:637-652, 1017-1029)
+        l_env_new = jnp.einsum("bai,aim->bm", left_part, A_left)
+        E2_new = transfer_append(E2, A_left) if cfg.L2_flag else E2
+
+        metrics = {
+            "accuracy": acc,
+            "MAE": mae,
+            "mean_abs_B": jnp.mean(jnp.abs(B_t)),
+            "mean_abs_deltaB": mean_abs_dB,
+            "mean_abs_f": jnp.mean(jnp.abs(f)),
+            "L2_loss": l2_loss,
+            "mean_abs_L2_grad": jnp.mean(jnp.abs(l2_grad)),
+        }
+        return (label_new, l_env_new, E2_new, f_new), (A_left, metrics)
+
+    init = (
+        label_site,
+        jnp.broadcast_to(e0, (B_sz, M)),
+        jnp.outer(e0, e0),
+        f0,
+    )
+    (label_final, _, _, f_final), (A_lefts, metrics) = jax.lax.scan(
+        step, init, xs
+    )
+
+    # slots 0..N-2 hold the new left factors; the label now sits at N-1
+    new_sites = jnp.concatenate(
+        [A_lefts, jnp.zeros((1, M, D, M), dtype=dtype)], axis=0
+    )
+    return new_sites, label_final, f0, f_final, metrics
+
+
+@partial(jax.jit, static_argnames=("T", "cfg", "left_dir"))
+def _sweep_jit(
+    sites, label_site, phi, y_onehot, lr, weight_dec, T, cfg, left_dir
+):
+    if left_dir:
+        new_s, new_l, f0, f_fin, m = _sweep_right_arrays(
+            _mirror_sites(sites),
+            _mirror_label(label_site),
+            jnp.flip(phi, axis=1),
+            y_onehot,
+            lr,
+            weight_dec,
+            T,
+            cfg,
+        )
+        return _mirror_sites(new_s), _mirror_label(new_l), f0, f_fin, m
+    return _sweep_right_arrays(
+        sites, label_site, phi, y_onehot, lr, weight_dec, T, cfg
+    )
+
+
+def sweep_once(
+    mps: MPS,
+    phi: jnp.ndarray,
+    y_onehot: jnp.ndarray,
+    lr: float,
+    weight_dec: float,
+    cfg: SweepConfig = None,
+):
+    """One full sweep in the direction implied by ``mps.l_pos``.
+
+    The label leg must sit at a chain end (as in the reference, whose
+    ``forward`` requires it, ``Network_class.py:257``). Returns
+    ``(new_mps, f_first, f_final, metrics)`` where ``f_first`` is the batch
+    forward before any update (what the reference's training loop uses for
+    the pre-sweep accuracy) and ``metrics`` are per-step series of length N-1.
+    """
+    if cfg is None:
+        cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn)
+    left_dir = mps.l_pos == mps.N - 1
+    if not left_dir and mps.l_pos != 0:
+        raise ValueError(
+            f"sweep requires the label leg at a chain end, got l_pos={mps.l_pos}"
+        )
+    lr = jnp.asarray(lr, dtype=mps.dtype)
+    weight_dec = jnp.asarray(weight_dec, dtype=mps.dtype)
+    new_sites, new_label, f0, f_fin, metrics = _sweep_jit(
+        mps.sites,
+        mps.label_site,
+        phi.astype(mps.dtype),
+        y_onehot.astype(mps.dtype),
+        lr,
+        weight_dec,
+        mps.T,
+        cfg,
+        left_dir,
+    )
+    new_mps = mps.replace(
+        sites=new_sites,
+        label_site=new_label,
+        l_pos=0 if left_dir else mps.N - 1,
+    )
+    return new_mps, f0, f_fin, metrics
+
+
+def train_batch(
+    mps: MPS,
+    x_raw: jnp.ndarray,
+    y: jnp.ndarray,
+    lr: float,
+    weight_dec: float,
+    cfg: SweepConfig = None,
+):
+    """Embed + forward + full sweep on one batch of RAW pixels ``(B, N)``.
+
+    Returns ``(new_mps, batch_accuracy, metrics)`` with ``batch_accuracy``
+    computed BEFORE the sweep, matching the reference training loop
+    (``Network_class.py:327-333``).
+    """
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+
+    phi = psi_embed(jnp.asarray(x_raw, dtype=mps.dtype))
+    L = mps.L
+    y = jnp.asarray(y)
+    y_onehot = jax.nn.one_hot(y, L, dtype=mps.dtype).T  # (L, B)
+    new_mps, f0, _, metrics = sweep_once(mps, phi, y_onehot, lr, weight_dec, cfg)
+    y_pred = jnp.argmax(f0, axis=0)
+    batch_acc = jnp.mean((y_pred == y).astype(mps.dtype))
+    return new_mps, batch_acc, metrics

@@ -1,0 +1,179 @@
+"""Epoch-level training loop with reference-compatible metrics history.
+
+Reference equivalent: ``Network.train`` (``Network_class.py:261-350``) --
+per batch: forward, pre-update accuracy, then one full sweep in the
+direction given by where the label leg sits (so direction alternates per
+batch, each direction seeing a fresh batch -- a deliberate design choice of
+the reference, report section III); then a validation accuracy pass per
+epoch.
+
+``var_hist`` layout matches the reference exactly
+(``Network_class.py:293-301``): shape ``(n_epochs, n_series, n_steps)``
+where ``n_steps = batches_per_epoch * (N-1)``; 2 series (accuracy, MAE) by
+default, 7 in debug mode.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetworkforml_tpu.models.mps import (
+    MPS,
+    accuracy_from_scores,
+    mps_forward,
+)
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+from tensornetworkforml_tpu.train.sweep import SweepConfig, sweep_once
+
+_DEBUG_SERIES = (
+    "mean_abs_B",
+    "mean_abs_deltaB",
+    "accuracy",
+    "mean_abs_f",
+    "MAE",
+    "L2_loss",
+    "mean_abs_L2_grad",
+)
+_PLAIN_SERIES = ("accuracy", "MAE")
+
+
+def _loader_batches(loader):
+    """Yield stacked ``(x, y)`` arrays from ours or reference-style loaders."""
+    if hasattr(loader, "batches"):
+        yield from loader.batches()
+    else:  # torch-style loader with identity collate: list of (x, y) pairs
+        for data in loader:
+            x = np.array([pair[0] for pair in data])
+            y = np.array([pair[1] for pair in data])
+            yield x, y
+
+
+def _as_phi(x: np.ndarray, dtype) -> jnp.ndarray:
+    """Accept raw pixels ``(B, N)`` or pre-embedded ``(B, N, D)``."""
+    x = jnp.asarray(x, dtype=dtype)
+    if x.ndim == 2:
+        return psi_embed(x)
+    return x
+
+
+def evaluate_accuracy(mps: MPS, loader) -> float:
+    """Mean batch accuracy over a loader (reference validation loop)."""
+    accs = []
+    for x, y in _loader_batches(loader):
+        phi = _as_phi(x, mps.dtype)
+        scores = mps_forward(mps, phi)
+        accs.append(float(accuracy_from_scores(scores, jnp.asarray(y))))
+    return float(np.mean(accs)) if accs else float("nan")
+
+
+def train_model(
+    mps: MPS,
+    train_loader,
+    val_loader,
+    lr: float,
+    n_epochs: int = 10,
+    weight_dec: float = 0.001,
+    L2_flag: bool = True,
+    debug: bool = False,
+    svd_method: str = "svd",
+    verbose: bool = True,
+    epoch_callback: Optional[Callable] = None,
+):
+    """Train an MPS; returns ``(mps, val_acc, var_hist)``.
+
+    ``val_acc`` is a list of per-epoch validation accuracies and
+    ``var_hist`` a ``(n_epochs, n_series, n_steps)`` array, both matching
+    the reference ``Network.train`` return contract.
+    """
+    cfg = SweepConfig(
+        act_fn=mps.act_fn,
+        loss_fn=mps.loss_fn,
+        L2_flag=L2_flag,
+        svd_method=svd_method,
+        debug=debug,
+    )
+    series = _DEBUG_SERIES if debug else _PLAIN_SERIES
+    val_acc: list[float] = []
+    var_hist: list[list[np.ndarray]] = []
+
+    for epoch in range(n_epochs):
+        epoch_series: dict[str, list[np.ndarray]] = {k: [] for k in series}
+        train_accs = []
+
+        n_batches = len(train_loader) if hasattr(train_loader, "__len__") else None
+        for i, (x, y) in enumerate(_loader_batches(train_loader)):
+            phi = _as_phi(x, mps.dtype)
+            y = jnp.asarray(np.asarray(y))
+            y_onehot = jnp.zeros((mps.L, y.shape[0]), dtype=mps.dtype)
+            y_onehot = y_onehot.at[y, jnp.arange(y.shape[0])].set(1.0)
+
+            mps, f0, _, metrics = sweep_once(
+                mps, phi, y_onehot, lr, weight_dec, cfg
+            )
+            batch_acc = float(accuracy_from_scores(f0, y))
+            train_accs.append(batch_acc)
+            for k in series:
+                epoch_series[k].append(np.asarray(metrics[k]))
+
+            if verbose:
+                frac = (i + 1) * 100 / n_batches if n_batches else 0.0
+                print(
+                    f"\rEpoch {epoch}/{n_epochs} - train accuracy : "
+                    f"{batch_acc:.4f} - completed : {frac:.2f} %",
+                    end=" ",
+                )
+
+        var_hist.append(
+            [np.concatenate(epoch_series[k]) for k in series]
+            if train_accs
+            else [np.zeros((0,)) for _ in series]
+        )
+
+        epoch_val = evaluate_accuracy(mps, val_loader)
+        val_acc.append(epoch_val)
+        if verbose:
+            print(
+                f"\rEpoch {epoch}/{n_epochs} - train accuracy : "
+                f"{np.mean(train_accs):.4f} - val accuracy: {epoch_val:.4f}"
+            )
+        if epoch_callback is not None:
+            epoch_callback(epoch, mps, epoch_val)
+
+    return mps, val_acc, np.array(var_hist)
+
+
+class Trainer:
+    """Thin OO wrapper over ``train_model`` holding hyper-parameters."""
+
+    def __init__(
+        self,
+        lr: float,
+        weight_dec: float = 0.001,
+        L2_flag: bool = True,
+        debug: bool = False,
+        svd_method: str = "svd",
+        verbose: bool = True,
+    ):
+        self.lr = lr
+        self.weight_dec = weight_dec
+        self.L2_flag = L2_flag
+        self.debug = debug
+        self.svd_method = svd_method
+        self.verbose = verbose
+
+    def fit(self, mps: MPS, train_loader, val_loader, n_epochs: int):
+        return train_model(
+            mps,
+            train_loader,
+            val_loader,
+            lr=self.lr,
+            n_epochs=n_epochs,
+            weight_dec=self.weight_dec,
+            L2_flag=self.L2_flag,
+            debug=self.debug,
+            svd_method=self.svd_method,
+            verbose=self.verbose,
+        )

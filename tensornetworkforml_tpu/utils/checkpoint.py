@@ -1,0 +1,158 @@
+"""Checkpointing: native .npz format + importer for reference pickles.
+
+The reference checkpoints whole ``Network`` objects with ``pickle``
+(``training_diagonals.py:69-70``); its schema is the minimal state
+{N, D, L, M, T, act_fn, loss_fn, l_pos, per-site arrays + axis names}
+(SURVEY.md section 5). We provide:
+
+* a native, dependency-free ``.npz`` checkpoint of the padded MPS;
+* an importer that reads the reference's pickles WITHOUT importing the
+  reference code (a custom Unpickler substitutes stub classes), used as the
+  numerical-parity fixture gate in tests.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pickle
+from typing import Any
+
+import numpy as np
+import jax.numpy as jnp
+
+from tensornetworkforml_tpu.models.mps import MPS
+
+_CKPT_VERSION = 1
+
+
+def save_checkpoint(mps: MPS, path: str) -> None:
+    """Save an MPS to a self-describing ``.npz`` file."""
+    meta = {
+        "version": _CKPT_VERSION,
+        "l_pos": int(mps.l_pos),
+        "act_fn": mps.act_fn,
+        "loss_fn": mps.loss_fn,
+        "T": float(mps.T),
+    }
+    np.savez(
+        path,
+        sites=np.asarray(mps.sites),
+        label_site=np.asarray(mps.label_site),
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    )
+
+
+def load_checkpoint(path: str, dtype=None) -> MPS:
+    """Load an MPS from a ``.npz`` checkpoint written by ``save_checkpoint``."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+        sites = data["sites"]
+        label_site = data["label_site"]
+    if dtype is not None:
+        sites = sites.astype(dtype)
+        label_site = label_site.astype(dtype)
+    return MPS(
+        sites=jnp.asarray(sites),
+        label_site=jnp.asarray(label_site),
+        l_pos=meta["l_pos"],
+        act_fn=meta["act_fn"],
+        loss_fn=meta["loss_fn"],
+        T=meta["T"],
+    )
+
+
+class _RefUnpickler(pickle.Unpickler):
+    """Unpickler that materialises the reference's classes as plain stubs.
+
+    The reference pickles ``Network`` objects whose class lives in its own
+    ``Network_class`` / ``Tensor_class`` modules; we substitute empty types so
+    the attribute state loads without executing or importing reference code.
+    """
+
+    _SUBSTITUTE = {
+        ("Network_class", "Network"),
+        ("Tensor_class", "Tensor"),
+        ("TensorNetwork", "Network"),
+        ("TensorNetwork", "Tensor"),
+        ("__main__", "Network"),
+        ("__main__", "Tensor"),
+    }
+
+    def find_class(self, module: str, name: str) -> Any:
+        if (module, name) in self._SUBSTITUTE:
+            return type(name, (), {})
+        return super().find_class(module, name)
+
+
+def load_reference_pickle(path: str) -> Any:
+    """Load a reference ``trained_*_model.dat`` pickle as a stub object tree."""
+    with open(path, "rb") as fh:
+        return _RefUnpickler(fh).load()
+
+
+def mps_from_reference_pickle(path: str, dtype=jnp.float64) -> MPS:
+    """Convert a reference checkpoint into the padded-uniform MPS."""
+    return mps_from_reference_net(load_reference_pickle(path), dtype=dtype)
+
+
+def mps_from_reference_net(net: Any, dtype=jnp.float64) -> MPS:
+    """Convert a reference ``Network``-like object into the padded MPS.
+
+    ``net`` needs the reference's attribute surface: N/M/D/L/T, l_pos,
+    act_fn/loss_fn, and ``As`` -- a list of tensors with ``.elem`` arrays and
+    ``.axes_names`` (axis names like ``['left','right','d5']``, the label
+    site carrying an extra ``'l'`` axis; written by
+    ``Network_class.py:145-148`` and mutated by training). Each ragged site
+    is permuted into our ``(left, d, right)`` convention and zero-padded to
+    the static bond dimension M; zero padding composed with the one-hot
+    boundary contraction reproduces the ragged chain product exactly.
+    """
+    N, M, D, L = int(net.N), int(net.M), int(net.D), int(net.L)
+    l_pos = int(net.l_pos)
+
+    sites = np.zeros((N, M, D, M), dtype=np.float64)
+    label_site = np.zeros((M, D, L, M), dtype=np.float64)
+
+    for n, A in enumerate(net.As):
+        elem = np.asarray(A.elem, dtype=np.float64)
+        names = [str(s) for s in np.asarray(A.axes_names)]
+        ax = {name: i for i, name in enumerate(names)}
+        d_name = f"d{n}"
+        has_left = "left" in ax
+        has_right = "right" in ax
+        has_label = "l" in ax
+
+        # Build the permutation to (left?, d, l?, right?) then insert
+        # singleton axes for missing bonds (chain edges).
+        order = []
+        if has_left:
+            order.append(ax["left"])
+        order.append(ax[d_name])
+        if has_label:
+            order.append(ax["l"])
+        if has_right:
+            order.append(ax["right"])
+        elem = np.transpose(elem, order)
+        if not has_left:
+            elem = elem[None]
+        if not has_right:
+            elem = elem[..., None]
+        # elem is now (ml, D, [L,] mr) with ml/mr the true (possibly
+        # truncated) bond dims.
+        if has_label:
+            assert n == l_pos, "label axis found away from l_pos"
+            ml, d_dim, l_dim, mr = elem.shape
+            label_site[:ml, :, :, :mr] = elem
+        else:
+            ml, d_dim, mr = elem.shape
+            sites[n, :ml, :, :mr] = elem
+
+    return MPS(
+        sites=jnp.asarray(sites, dtype=dtype),
+        label_site=jnp.asarray(label_site, dtype=dtype),
+        l_pos=l_pos,
+        act_fn=str(net.act_fn),
+        loss_fn=str(net.loss_fn),
+        T=float(net.T),
+    )

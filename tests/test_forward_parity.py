@@ -1,0 +1,99 @@
+"""Numerical parity gates vs the reference implementation and checkpoints.
+
+These are the gates SURVEY.md section 7 calls for: load the shipped
+reference checkpoints, run both forward passes on the same input, and match
+to float64 precision.
+"""
+
+import numpy as np
+import pytest
+
+from tensornetworkforml_tpu.models.mps import mps_forward
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+from tensornetworkforml_tpu.utils.checkpoint import (
+    mps_from_reference_net,
+    mps_from_reference_pickle,
+)
+from tests.conftest import REFERENCE_DIR
+
+RNG = np.random.default_rng(42)
+
+DIAG_CKPT = f"{REFERENCE_DIR}/trained_diag_model.dat"
+MNIST_CKPT = f"{REFERENCE_DIR}/trained_MNIST_model.dat"
+
+
+def _ref_load(path, reference_modules):
+    import pickle
+
+    with open(path, "rb") as fh:
+        return pickle.load(fh)
+
+
+@pytest.mark.parametrize("ckpt", [DIAG_CKPT, MNIST_CKPT])
+def test_forward_parity_on_reference_checkpoints(ckpt, reference_modules):
+    ref_net = _ref_load(ckpt, reference_modules)
+    mps = mps_from_reference_pickle(ckpt)
+    assert mps.l_pos == ref_net.l_pos
+    assert (mps.N, mps.M, mps.D, mps.L) == (
+        ref_net.N,
+        ref_net.M,
+        ref_net.D,
+        ref_net.L,
+    )
+
+    B = 8
+    x_raw = RNG.random((B, mps.N))
+    phi = np.asarray(psi_embed(x_raw))
+
+    f_ref = ref_net.forward(phi.copy())
+    f_ours = mps_forward(mps, phi)
+
+    assert list(f_ref.axes_names) == ["l", "b"]
+    np.testing.assert_allclose(
+        np.asarray(f_ours), f_ref.elem, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_forward_parity_fresh_network(reference_modules):
+    """Parity on an untrained reference net (ragged shapes, l_pos=0)."""
+    RefNetwork = reference_modules["Network"].Network
+    np.random.seed(7)
+    ref_net = RefNetwork(N=16, M=6, D=2, L=3, act_fn="softmax",
+                         loss_fn="full_cross_ent")
+    mps = mps_from_reference_net(ref_net)
+
+    B = 5
+    phi = np.asarray(psi_embed(RNG.random((B, 16))))
+    f_ref = ref_net.forward(phi.copy())
+    f_ours = mps_forward(mps, phi)
+    np.testing.assert_allclose(
+        np.asarray(f_ours), f_ref.elem, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_forward_parity_label_at_right_end(reference_modules):
+    """Parity with the label leg at N-1 (left-sweep entry state)."""
+    ref_net = _ref_load(DIAG_CKPT, reference_modules)
+    assert ref_net.l_pos == ref_net.N - 1  # the shipped diag ckpt state
+    mps = mps_from_reference_pickle(DIAG_CKPT)
+    phi = np.asarray(psi_embed(RNG.random((4, mps.N))))
+    f_ref = ref_net.forward(phi.copy())
+    f_ours = mps_forward(mps, phi)
+    np.testing.assert_allclose(
+        np.asarray(f_ours), f_ref.elem, rtol=1e-10, atol=1e-12
+    )
+
+
+def test_checkpoint_accuracy_on_diagonals(reference_modules):
+    """The imported checkpoint must classify the diagonals task well."""
+    from tensornetworkforml_tpu.data.diagonals import create_dataset
+    from tensornetworkforml_tpu.models.mps import accuracy_from_scores
+    import jax.numpy as jnp
+
+    mps = mps_from_reference_pickle(DIAG_CKPT)
+    dim = int(np.sqrt(mps.N))
+    data, labels = create_dataset(512, dim, sigma=0.6, seed=3)
+    phi = psi_embed(jnp.asarray(data.reshape(len(data), -1)))
+    scores = mps_forward(mps, phi)
+    acc = float(accuracy_from_scores(scores, jnp.asarray(labels)))
+    assert acc > 0.95, f"checkpoint accuracy {acc} too low"
