@@ -24,28 +24,37 @@ import jax.numpy as jnp
 
 
 def truncated_svd_split(
-    bmat: jnp.ndarray, rank: int, method: str = "svd"
+    bmat: jnp.ndarray, rank: int, method: str = "svd", keep=None
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Split ``bmat (I, J)`` into ``(I, rank) @ (rank, J)``.
 
     Returns ``(U sqrt(S), sqrt(S) V^h)`` truncated to ``rank`` singular
     values, with sqrt(S) shared between the factors as in the reference
     (``Network_class.py:871, 912-915``). ``rank`` must be <= min(I, J).
+
+    ``keep`` (optional, traced int) additionally zeroes singular values
+    beyond the first ``keep`` -- equivalent to a harder truncation but with
+    static output shapes, used to reproduce the reference's evolving
+    bond-rank rule (``Network_class.py:894-910``) inside a compiled scan.
     """
     if method == "svd":
         U, S, Vh = jnp.linalg.svd(bmat, full_matrices=False)
         U = U[:, :rank]
         S = S[:rank]
         Vh = Vh[:rank, :]
+        if keep is not None:
+            S = jnp.where(jnp.arange(rank) < keep, S, 0.0)
         sqrt_s = jnp.sqrt(jnp.maximum(S, 0.0))
         return U * sqrt_s[None, :], sqrt_s[:, None] * Vh
     elif method == "gram":
-        return _gram_split(bmat, rank)
+        return _gram_split(bmat, rank, keep)
     else:
         raise ValueError(f"unknown SVD method {method!r}")
 
 
-def _gram_split(bmat: jnp.ndarray, rank: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _gram_split(
+    bmat: jnp.ndarray, rank: int, keep=None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Truncated split via eigh of the smaller Gram matrix."""
     I, J = bmat.shape
     if I <= J:
@@ -54,6 +63,8 @@ def _gram_split(bmat: jnp.ndarray, rank: int) -> tuple[jnp.ndarray, jnp.ndarray]
         # top-`rank` eigenpairs
         evals = evals[::-1][:rank]
         U = evecs[:, ::-1][:, :rank]  # (I, rank)
+        if keep is not None:
+            evals = jnp.where(jnp.arange(rank) < keep, evals, 0.0)
         S = jnp.sqrt(jnp.maximum(evals, 0.0))
         sqrt_s = jnp.sqrt(S)
         # sqrt(S) V^h = sqrt(S) S^{-1} U^T B ; guard zero singular values
@@ -61,5 +72,5 @@ def _gram_split(bmat: jnp.ndarray, rank: int) -> tuple[jnp.ndarray, jnp.ndarray]
         svh = (sqrt_s * inv)[:, None] * (U.T @ bmat)
         return U * sqrt_s[None, :], svh
     else:
-        right, left_t = _gram_split(bmat.T, rank)
+        right, left_t = _gram_split(bmat.T, rank, keep)
         return left_t.T, right.T

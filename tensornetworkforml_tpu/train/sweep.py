@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tensornetworkforml_tpu.models.mps import (
     MPS,
@@ -48,13 +49,24 @@ from tensornetworkforml_tpu.ops.svd import truncated_svd_split
 
 
 class SweepConfig(NamedTuple):
-    """Static sweep hyper-structure (hashable; part of the jit key)."""
+    """Static sweep hyper-structure (hashable; part of the jit key).
+
+    ``rank_mode``:
+      * ``"fixed"`` (default): truncate every split to bond dimension M --
+        standard two-site DMRG truncation, strictly more expressive than the
+        reference and static-shape friendly.
+      * ``"reference"``: additionally cap each step's rank with the
+        reference's evolving bond rule (``Network_class.py:894-910``) for
+        bit-parity; the per-step caps are host-computed data (see
+        ``train/rank_schedule.py``).
+    """
 
     act_fn: str = "softmax"
     loss_fn: str = "full_cross_ent"
     L2_flag: bool = True
     svd_method: str = "svd"
     debug: bool = False
+    rank_mode: str = "fixed"
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -74,6 +86,7 @@ def _sweep_right_arrays(
     y_onehot: jnp.ndarray,
     lr: jnp.ndarray,
     weight_dec: jnp.ndarray,
+    ranks: jnp.ndarray,
     T: float,
     cfg: SweepConfig,
 ):
@@ -107,11 +120,12 @@ def _sweep_right_arrays(
         sites[1:],  # A2s  (N-1,M,D,M): reads are always pre-sweep sites
         r_envs[2:],  # stale right environments, step l uses r_envs[l+2]
         r2[2:],  # stale right transfer products
+        ranks,  # per-step SVD rank caps
     )
 
     def step(carry, x):
         label, l_env, E2, f = carry
-        x1, x2, A2, r_env, r2_step = x
+        x1, x2, A2, r_env, r2_step, rank = x
 
         # merge the active pair: B[a,i,o,j,c] (left,d1,label,d2,right)
         B_t = jnp.einsum("aiok,kjc->aiojc", label, A2)
@@ -141,11 +155,11 @@ def _sweep_right_arrays(
             l2_grad = weight_dec * B_t
         deltaB = deltaB - l2_grad
 
-        mean_abs_dB = jnp.mean(jnp.abs(deltaB))  # recorded pre-clip (ref :742)
+        sum_abs_dB = jnp.sum(jnp.abs(deltaB))  # recorded pre-clip (ref :742)
 
         # L1 gradient clipping (Network_class.py:753-757)
         s_B = jnp.sum(jnp.abs(B_t))
-        s_dB = jnp.sum(jnp.abs(deltaB))
+        s_dB = sum_abs_dB
         deltaB = deltaB * jnp.where(s_dB > s_B, s_B / s_dB, 1.0)
 
         # ascent step (loss derivatives are defined so ascent == descent)
@@ -156,7 +170,10 @@ def _sweep_right_arrays(
 
         # split back: rows (a,i), cols (o,j,c); truncate to bond dim M
         bmat = B_new.reshape(M * D, L * D * M)
-        left_flat, right_flat = truncated_svd_split(bmat, M, cfg.svd_method)
+        keep = rank if cfg.rank_mode == "reference" else None
+        left_flat, right_flat = truncated_svd_split(
+            bmat, M, cfg.svd_method, keep=keep
+        )
         A_left = left_flat.reshape(M, D, M)
         label_new = right_flat.reshape(M, L, D, M).transpose(0, 2, 1, 3)
 
@@ -165,14 +182,16 @@ def _sweep_right_arrays(
         l_env_new = jnp.einsum("bai,aim->bm", left_part, A_left)
         E2_new = transfer_append(E2, A_left) if cfg.L2_flag else E2
 
+        # |.| totals are recorded as SUMS; sweep_once divides by the ragged
+        # element count so means match the reference's ragged tensors.
         metrics = {
             "accuracy": acc,
             "MAE": mae,
-            "mean_abs_B": jnp.mean(jnp.abs(B_t)),
-            "mean_abs_deltaB": mean_abs_dB,
+            "sum_abs_B": s_B,
+            "sum_abs_deltaB": sum_abs_dB,
             "mean_abs_f": jnp.mean(jnp.abs(f)),
             "L2_loss": l2_loss,
-            "mean_abs_L2_grad": jnp.mean(jnp.abs(l2_grad)),
+            "sum_abs_L2_grad": jnp.sum(jnp.abs(l2_grad)),
         }
         return (label_new, l_env_new, E2_new, f_new), (A_left, metrics)
 
@@ -195,7 +214,7 @@ def _sweep_right_arrays(
 
 @partial(jax.jit, static_argnames=("T", "cfg", "left_dir"))
 def _sweep_jit(
-    sites, label_site, phi, y_onehot, lr, weight_dec, T, cfg, left_dir
+    sites, label_site, phi, y_onehot, lr, weight_dec, ranks, T, cfg, left_dir
 ):
     if left_dir:
         new_s, new_l, f0, f_fin, m = _sweep_right_arrays(
@@ -205,12 +224,13 @@ def _sweep_jit(
             y_onehot,
             lr,
             weight_dec,
+            ranks,
             T,
             cfg,
         )
         return _mirror_sites(new_s), _mirror_label(new_l), f0, f_fin, m
     return _sweep_right_arrays(
-        sites, label_site, phi, y_onehot, lr, weight_dec, T, cfg
+        sites, label_site, phi, y_onehot, lr, weight_dec, ranks, T, cfg
     )
 
 
@@ -221,6 +241,7 @@ def sweep_once(
     lr: float,
     weight_dec: float,
     cfg: SweepConfig = None,
+    bond_profile=None,
 ):
     """One full sweep in the direction implied by ``mps.l_pos``.
 
@@ -229,6 +250,11 @@ def sweep_once(
     ``(new_mps, f_first, f_final, metrics)`` where ``f_first`` is the batch
     forward before any update (what the reference's training loop uses for
     the pre-sweep accuracy) and ``metrics`` are per-step series of length N-1.
+
+    In ``rank_mode="reference"`` the per-step SVD rank caps follow the
+    reference's bond recurrence, seeded from ``bond_profile`` (list of N-1
+    bond dims; inferred from the zero structure if omitted); the evolved
+    profile is returned as ``metrics["bond_profile"]``.
     """
     if cfg is None:
         cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn)
@@ -237,6 +263,26 @@ def sweep_once(
         raise ValueError(
             f"sweep requires the label leg at a chain end, got l_pos={mps.l_pos}"
         )
+
+    if cfg.rank_mode == "reference":
+        from tensornetworkforml_tpu.train.rank_schedule import (
+            effective_bond_profile,
+            reference_rank_schedule,
+        )
+
+        if bond_profile is None:
+            bond_profile = effective_bond_profile(mps)
+        ranks_np, counts_np, new_profile = reference_rank_schedule(
+            bond_profile, mps.N, mps.D, mps.L, left_dir
+        )
+        ranks = jnp.asarray(ranks_np)
+    else:
+        new_profile = None
+        counts_np = np.full(
+            (mps.N - 1,), mps.M * mps.D * mps.L * mps.D * mps.M, dtype=np.int64
+        )
+        ranks = jnp.full((mps.N - 1,), mps.M, dtype=jnp.int32)
+
     lr = jnp.asarray(lr, dtype=mps.dtype)
     weight_dec = jnp.asarray(weight_dec, dtype=mps.dtype)
     new_sites, new_label, f0, f_fin, metrics = _sweep_jit(
@@ -246,10 +292,19 @@ def sweep_once(
         y_onehot.astype(mps.dtype),
         lr,
         weight_dec,
+        ranks,
         mps.T,
         cfg,
         left_dir,
     )
+    # ragged-equivalent means for the reference's debug series
+    metrics = dict(metrics)
+    counts = jnp.asarray(counts_np, dtype=mps.dtype)
+    metrics["mean_abs_B"] = metrics.pop("sum_abs_B") / counts
+    metrics["mean_abs_deltaB"] = metrics.pop("sum_abs_deltaB") / counts
+    metrics["mean_abs_L2_grad"] = metrics.pop("sum_abs_L2_grad") / counts
+    if new_profile is not None:
+        metrics["bond_profile"] = new_profile
     new_mps = mps.replace(
         sites=new_sites,
         label_site=new_label,

@@ -1,0 +1,199 @@
+"""Training-step parity gates: our compiled sweep vs the reference oracle.
+
+Runs the reference implementation in-process (read-only import) on identical
+initial parameters and batches, then checks that our single-scan sweep
+produces the same outputs, metrics, and post-sweep model behaviour in
+float64. Site tensors themselves are only gauge-equivalent after SVD, so
+comparisons are on gauge-invariant quantities (network outputs, accuracies,
+losses, norms).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tensornetworkforml_tpu.models.mps import mps_forward
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+from tensornetworkforml_tpu.train.rank_schedule import (
+    effective_bond_profile,
+    fresh_bond_profile,
+    reference_rank_schedule,
+)
+from tensornetworkforml_tpu.train.sweep import SweepConfig, sweep_once
+from tensornetworkforml_tpu.utils.checkpoint import mps_from_reference_net
+
+RNG = np.random.default_rng(123)
+
+
+def _make_ref_net(reference_modules, N=8, M=6, L=2, act="softmax",
+                  loss="full_cross_ent", seed=0):
+    tn = reference_modules["Network"]
+    np.random.seed(seed)
+    x = RNG.random((16, N))
+    phi = np.asarray(psi_embed(x))
+    net = tn.Network(
+        N=N, M=M, D=2, L=L, act_fn=act, loss_fn=loss,
+        normalize=True, calibration_X=phi,
+    )
+    return net
+
+
+def _ref_sweep(net, phi, y, lr, wd, L2_flag, debug=False):
+    """Drive the reference exactly like its train loop does."""
+    f = net.forward(phi.copy())
+    left_dir = net.l_pos == net.N - 1
+    var_hist = [[] for _ in range(7 if debug else 2)]
+    f_fin = net.sweep(
+        phi.copy(), y, f, lr, wd, L2_flag=L2_flag, left_dir=left_dir,
+        var_hist=var_hist, debug=debug,
+    )
+    return f_fin, var_hist
+
+
+@pytest.mark.parametrize("L2_flag", [True, False])
+def test_single_right_sweep_parity(reference_modules, L2_flag):
+    net = _make_ref_net(reference_modules)
+    mps = mps_from_reference_net(net)
+    cfg = SweepConfig(
+        act_fn=mps.act_fn, loss_fn=mps.loss_fn, L2_flag=L2_flag,
+        rank_mode="reference", debug=True,
+    )
+
+    B = 16
+    x = RNG.random((B, mps.N))
+    phi = np.asarray(psi_embed(x))
+    y = RNG.integers(0, mps.L, B)
+    y_onehot = np.zeros((mps.L, B))
+    y_onehot[y, np.arange(B)] = 1.0
+
+    lr, wd = 0.01, 0.5
+    # debug=True with L2_flag=False crashes the REFERENCE itself (it records
+    # an undefined L2_loss_term, Network_class.py:746), so only exercise the
+    # debug series where the reference can produce them.
+    ref_debug = L2_flag
+    f_ref, var_hist = _ref_sweep(net, phi, y, lr, wd, L2_flag, debug=ref_debug)
+    mps2, f0, f_fin, metrics = sweep_once(
+        mps, jnp.asarray(phi), jnp.asarray(y_onehot), lr, wd, cfg
+    )
+
+    # final output of the sweep (computed with stale right envs)
+    np.testing.assert_allclose(
+        np.asarray(f_fin), f_ref.elem, rtol=1e-8, atol=1e-10
+    )
+    # per-step debug series (Network_class.py:741-747 ordering)
+    if ref_debug:
+        names = ["mean_abs_B", "mean_abs_deltaB", "accuracy", "mean_abs_f",
+                 "MAE", "L2_loss", "mean_abs_L2_grad"]
+    else:
+        names = ["accuracy", "MAE"]
+    for slot, key in enumerate(names):
+        np.testing.assert_allclose(
+            np.asarray(metrics[key]),
+            np.asarray(var_hist[slot], dtype=np.float64),
+            rtol=1e-7,
+            atol=1e-10,
+            err_msg=f"series {key}",
+        )
+    # post-sweep models agree on fresh data (gauge-invariant check)
+    x_new = RNG.random((4, mps.N))
+    phi_new = np.asarray(psi_embed(x_new))
+    f_ref_new = net.forward(phi_new.copy())
+    f_ours_new = mps_forward(mps2, jnp.asarray(phi_new))
+    np.testing.assert_allclose(
+        np.asarray(f_ours_new), f_ref_new.elem, rtol=1e-8, atol=1e-10
+    )
+    assert mps2.l_pos == net.l_pos == mps.N - 1
+
+
+def test_full_sweep_cycle_parity(reference_modules):
+    """Right sweep then left sweep (fresh batch each), as the train loop."""
+    net = _make_ref_net(reference_modules, N=10, M=5)
+    mps = mps_from_reference_net(net)
+    cfg = SweepConfig(
+        act_fn=mps.act_fn, loss_fn=mps.loss_fn, L2_flag=True,
+        rank_mode="reference",
+    )
+    lr, wd = 0.02, 1.0
+    profile = None
+    for it in range(4):
+        B = 12
+        x = RNG.random((B, mps.N))
+        phi = np.asarray(psi_embed(x))
+        y = RNG.integers(0, mps.L, B)
+        y_onehot = np.zeros((mps.L, B))
+        y_onehot[y, np.arange(B)] = 1.0
+
+        f_ref, var_hist = _ref_sweep(net, phi, y, lr, wd, True)
+        mps, f0, f_fin, metrics = sweep_once(
+            mps, jnp.asarray(phi), jnp.asarray(y_onehot), lr, wd, cfg,
+            bond_profile=profile,
+        )
+        profile = metrics["bond_profile"]
+        assert mps.l_pos == net.l_pos, f"iteration {it}"
+        np.testing.assert_allclose(
+            np.asarray(f_fin), f_ref.elem, rtol=1e-7, atol=1e-9,
+            err_msg=f"iteration {it}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(metrics["accuracy"]),
+            np.asarray(var_hist[0], dtype=np.float64),
+            atol=1e-12,
+            err_msg=f"iteration {it}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(metrics["MAE"]),
+            np.asarray(var_hist[1], dtype=np.float64),
+            rtol=1e-7,
+            atol=1e-10,
+            err_msg=f"iteration {it}",
+        )
+
+
+def test_rank_schedule_matches_reference_shapes(reference_modules):
+    """The host-side bond recurrence reproduces the reference's evolving
+    ragged shapes over a full right+left cycle."""
+    net = _make_ref_net(reference_modules, N=8, M=6)
+    mps = mps_from_reference_net(net)
+    N, D, L = mps.N, mps.D, mps.L
+    profile = effective_bond_profile(mps)
+    assert profile == fresh_bond_profile(N, mps.M)
+
+    for left_dir in (False, True):
+        B = 8
+        phi = np.asarray(psi_embed(RNG.random((B, N))))
+        y = RNG.integers(0, L, B)
+        _ref_sweep(net, phi, y, 0.01, 1.0, True)
+        _, _, profile = reference_rank_schedule(profile, N, D, L, left_dir)
+        # read the reference's actual bond dims (right-bond of each site)
+        ref_bonds = []
+        for i in range(N - 1):
+            A = net.As[i]
+            names = [str(s) for s in np.asarray(A.axes_names)]
+            ref_bonds.append(A.elem.shape[names.index("right")])
+        assert profile == ref_bonds, f"left_dir={left_dir}"
+
+
+@pytest.mark.parametrize("act,loss", [
+    ("linear", "MSE"),
+    ("sigmoid", "MSE"),
+    ("softmax", "cross_entropy"),
+    ("linear", "full_cross_ent"),
+])
+def test_sweep_parity_all_losses(reference_modules, act, loss, capsys):
+    net = _make_ref_net(reference_modules, N=6, M=4, act=act, loss=loss)
+    mps = mps_from_reference_net(net)
+    cfg = SweepConfig(
+        act_fn=act, loss_fn=loss, L2_flag=True, rank_mode="reference",
+    )
+    B = 8
+    phi = np.asarray(psi_embed(RNG.random((B, mps.N))))
+    y = RNG.integers(0, mps.L, B)
+    y_onehot = np.zeros((mps.L, B))
+    y_onehot[y, np.arange(B)] = 1.0
+    f_ref, _ = _ref_sweep(net, phi, y, 0.005, 0.1, True)
+    _, _, f_fin, _ = sweep_once(
+        mps, jnp.asarray(phi), jnp.asarray(y_onehot), 0.005, 0.1, cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_fin), f_ref.elem, rtol=1e-8, atol=1e-10
+    )

@@ -1,0 +1,160 @@
+"""End-to-end training gates (the reference's de-facto integration test).
+
+The noisy-diagonals task with the reference's published configuration must
+reach ~99% validation accuracy within a few epochs
+(``results/diag_accuracy.png``; SURVEY.md section 6). Also exercises the
+Network facade, checkpoint round-trip, and the reference-rank training mode.
+"""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetworkforml_tpu.data.diagonals import create_dataset
+from tensornetworkforml_tpu.data.loader import prepare_dataset
+from tensornetworkforml_tpu.models.mps import mps_init
+from tensornetworkforml_tpu.models.network import Network
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+from tensornetworkforml_tpu.train.trainer import evaluate_accuracy, train_model
+from tensornetworkforml_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+
+def _diag_loaders(n=2400, dim=8, sigma=0.7, batch=1920, seed=0):
+    data, labels = create_dataset(n, dim, sigma, seed=seed)
+    return prepare_dataset(
+        data, labels, 1.0, 0.2, batch, 64, 64, embed=False, seed=seed + 1
+    )
+
+
+def test_diagonals_reaches_99_percent():
+    tr, va, te = _diag_loaders()
+    x_cal, _ = next(tr.batches())
+    phi_cal = psi_embed(jnp.asarray(x_cal[:16], dtype=jnp.float64))
+    mps = mps_init(
+        jax.random.PRNGKey(0),
+        N=64,
+        M=10,
+        L=2,
+        normalize=True,
+        calibration_phi=phi_cal,
+        act_fn="softmax",
+        loss_fn="full_cross_ent",
+        dtype=jnp.float64,
+    )
+    mps, val_acc, var_hist = train_model(
+        mps, tr, va, lr=0.01, n_epochs=4, weight_dec=1.0, verbose=False
+    )
+    assert max(val_acc) >= 0.99, f"val accuracy too low: {val_acc}"
+    # var_hist has the reference layout (n_epochs, 2, batches*(N-1))
+    assert var_hist.shape[0] == 4 and var_hist.shape[1] == 2
+    assert var_hist.shape[2] == len(tr) * (mps.N - 1)
+
+    # checkpoint round-trip preserves behaviour exactly
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "model.npz")
+        save_checkpoint(mps, path)
+        mps2 = load_checkpoint(path)
+        from tensornetworkforml_tpu.models.mps import mps_forward
+
+        x_fix, _ = next(va.batches())
+        phi_fix = psi_embed(jnp.asarray(x_fix, dtype=jnp.float64))
+        np.testing.assert_array_equal(
+            np.asarray(mps_forward(mps, phi_fix)),
+            np.asarray(mps_forward(mps2, phi_fix)),
+        )
+        assert mps2.l_pos == mps.l_pos
+        assert mps2.act_fn == mps.act_fn and mps2.T == mps.T
+
+
+def test_network_facade_train():
+    """The reference-compatible class API end-to-end (small/fast config)."""
+    data, labels = create_dataset(800, 5, 0.5, seed=3)
+    tr, va, te = prepare_dataset(
+        data, labels, 1.0, 0.2, 320, 64, 64, embed=True, seed=4
+    )
+    x_cal = np.stack([pair[0] for pair in next(iter(tr))][:16])
+    net = Network(
+        N=25,
+        M=5,
+        L=2,
+        normalize=True,
+        calibration_X=x_cal,
+        act_fn="softmax",
+        loss_fn="full_cross_ent",
+        dtype=jnp.float64,
+        seed=0,
+    )
+    val_acc, var_hist = net.train(tr, va, lr=0.02, n_epochs=3, weight_dec=1.0,
+                                  verbose=False)
+    assert max(val_acc) >= 0.95, f"val accuracy too low: {val_acc}"
+
+    # facade inference surface
+    x, y = next(va.batches())
+    f = net.forward(x)
+    assert list(f.axes_names) == ["l", "b"]
+    acc = net.accuracy(x, y, f)
+    assert acc >= 0.9
+    f_act = net.apply_act_func(f)
+    s = np.asarray(f_act.elem).sum(axis=0)
+    np.testing.assert_allclose(s, 1.0, rtol=1e-8)  # softmax normalised
+
+
+def test_training_with_reference_rank_mode_learns():
+    """The bit-parity mode (collapsing bonds) still learns the easy task."""
+    from tensornetworkforml_tpu.train.sweep import SweepConfig, sweep_once
+
+    tr, va, te = _diag_loaders(n=1200, dim=5, sigma=0.5, batch=960, seed=7)
+    x_cal, _ = next(tr.batches())
+    phi_cal = psi_embed(jnp.asarray(x_cal[:16], dtype=jnp.float64))
+    mps = mps_init(
+        jax.random.PRNGKey(1),
+        N=25,
+        M=8,
+        L=2,
+        normalize=True,
+        calibration_phi=phi_cal,
+        act_fn="softmax",
+        loss_fn="full_cross_ent",
+        dtype=jnp.float64,
+    )
+    cfg = SweepConfig(
+        act_fn="softmax", loss_fn="full_cross_ent", rank_mode="reference"
+    )
+    profile = None
+    for epoch in range(3):
+        for x, y in tr.batches():
+            phi = psi_embed(jnp.asarray(x, dtype=jnp.float64))
+            y_onehot = jnp.zeros((2, len(y)), dtype=jnp.float64)
+            y_onehot = y_onehot.at[jnp.asarray(y), jnp.arange(len(y))].set(1.0)
+            mps, _, _, metrics = sweep_once(
+                mps, phi, y_onehot, 0.02, 1.0, cfg, bond_profile=profile
+            )
+            profile = metrics["bond_profile"]
+    acc = evaluate_accuracy(mps, va)
+    assert acc >= 0.95, f"val accuracy too low: {acc}"
+
+
+def test_train_with_plain_weight_decay():
+    """L2_flag=False path (plain decay) trains without error."""
+    tr, va, te = _diag_loaders(n=600, dim=5, sigma=0.5, batch=480, seed=9)
+    x_cal, _ = next(tr.batches())
+    phi_cal = psi_embed(jnp.asarray(x_cal[:16], dtype=jnp.float64))
+    mps = mps_init(
+        jax.random.PRNGKey(2),
+        N=25,
+        M=6,
+        L=2,
+        normalize=True,
+        calibration_phi=phi_cal,
+        act_fn="softmax",
+        loss_fn="full_cross_ent",
+        dtype=jnp.float64,
+    )
+    mps, val_acc, _ = train_model(
+        mps, tr, va, lr=0.02, n_epochs=2, weight_dec=1e-4, L2_flag=False,
+        verbose=False,
+    )
+    assert max(val_acc) >= 0.9, f"val accuracy too low: {val_acc}"
