@@ -84,6 +84,43 @@ def right_env_stack(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([ys, v0[None]], axis=0)
 
 
+def left_env_stack_parallel(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
+    """All left environments via ``associative_scan`` (chain-parallel).
+
+    Same result as ``left_env_stack`` but with O(log N) sequential depth at
+    the cost of O(N log N) M^3-matmuls (vs O(N) M^2-matvecs): profitable when
+    the chain is sharded across devices (the scan's matmul tree parallelises
+    over the site axis, the MPS analogue of sequence parallelism) or when N
+    dominates and the MXU is idle. The reference's strictly sequential cache
+    build (``Network_class.py:231-242``) is a prefix scan in disguise.
+    """
+    prods = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum("nblr,nbrs->nbls", a, b), mats, axis=0
+    )  # prods[n] = mats[0] @ ... @ mats[n]
+    envs = jnp.einsum("l,nblr->nbr", e0, prods)
+    B, M = mats.shape[1], mats.shape[2]
+    v0 = jnp.broadcast_to(e0, (B, M))
+    return jnp.concatenate([v0[None], envs], axis=0)
+
+
+def right_env_stack_parallel(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
+    """All right environments via ``associative_scan`` (chain-parallel).
+
+    Suffix products need right-to-left multiplication order; scan the
+    flipped stack with a swapped-operand combine (still associative) and
+    flip back.
+    """
+    rev = jnp.flip(mats, axis=0)
+    prods_rev = jax.lax.associative_scan(
+        lambda a, b: jnp.einsum("nblr,nbrs->nbls", b, a), rev, axis=0
+    )  # prods_rev[k] = rev[k] @ rev[k-1] @ ... @ rev[0]
+    prods = jnp.flip(prods_rev, axis=0)  # prods[n] = mats[n] @ ... @ mats[N-1]
+    envs = jnp.einsum("nblr,r->nbl", prods, e0)
+    B, M = mats.shape[1], mats.shape[2]
+    v0 = jnp.broadcast_to(e0, (B, M))
+    return jnp.concatenate([envs, v0[None]], axis=0)
+
+
 def left_env_final(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
     """Just the final left environment ``(B, M)`` (no stacked prefixes)."""
     N, B, M, _ = mats.shape

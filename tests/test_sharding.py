@@ -1,0 +1,151 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh.
+
+Checks that (a) the sharded fused train step compiles and runs over a real
+``Mesh``, (b) data-parallel results are IDENTICAL to single-device results
+(DP must be a pure implementation detail), (c) bond-sharded (tensor
+parallel) forward matches, and (d) the chain-parallel (associative-scan)
+environments match the sequential scans.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tensornetworkforml_tpu.models.mps import mps_forward, mps_init
+from tensornetworkforml_tpu.ops.contractions import (
+    boundary_vector,
+    left_env_stack,
+    left_env_stack_parallel,
+    right_env_stack,
+    right_env_stack_parallel,
+)
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+from tensornetworkforml_tpu.parallel.dp import ShardedTrainer
+from tensornetworkforml_tpu.parallel.mesh import make_mesh, site_sharding
+from tensornetworkforml_tpu.train.sweep import SweepConfig, sweep_once
+
+RNG = np.random.default_rng(5)
+
+
+def _make_mps(seed=0, N=16, M=6, L=2):
+    phi_cal = psi_embed(jnp.asarray(RNG.random((16, N))))
+    return mps_init(
+        jax.random.PRNGKey(seed),
+        N=N,
+        M=M,
+        L=L,
+        normalize=True,
+        calibration_phi=phi_cal,
+        act_fn="softmax",
+        loss_fn="full_cross_ent",
+        dtype=jnp.float64,
+    )
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_training_step_matches_single_device():
+    mps = _make_mps()
+    N = mps.N
+    B = 32  # divisible by 8
+    x = RNG.random((B, N))
+    y = RNG.integers(0, 2, B)
+
+    # single-device path
+    phi = psi_embed(jnp.asarray(x))
+    y_onehot = jax.nn.one_hot(jnp.asarray(y), 2, dtype=jnp.float64).T
+    cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn)
+    ref_mps, f0, _, _ = sweep_once(mps, phi, y_onehot, 0.01, 1.0, cfg)
+
+    # 8-way data-parallel path
+    mesh = make_mesh()
+    trainer = ShardedTrainer(mesh, mps, lr=0.01, weight_dec=1.0)
+    acc = trainer.step(x, y)
+
+    np.testing.assert_allclose(
+        np.asarray(trainer.mps.sites), np.asarray(ref_mps.sites),
+        rtol=1e-6, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(trainer.mps.label_site), np.asarray(ref_mps.label_site),
+        rtol=1e-6, atol=1e-8,
+    )
+    assert trainer.mps.l_pos == ref_mps.l_pos
+
+    # and a second (left) sweep
+    x2 = RNG.random((B, N))
+    y2 = RNG.integers(0, 2, B)
+    phi2 = psi_embed(jnp.asarray(x2))
+    y2_onehot = jax.nn.one_hot(jnp.asarray(y2), 2, dtype=jnp.float64).T
+    ref_mps2, _, _, _ = sweep_once(ref_mps, phi2, y2_onehot, 0.01, 1.0, cfg)
+    trainer.step(x2, y2)
+    # After an SVD the raw site tensors are only gauge-stable where singular
+    # values are well separated; compare the models on fresh data instead.
+    phi_probe = psi_embed(jnp.asarray(RNG.random((8, N))))
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(trainer.mps, phi_probe)),
+        np.asarray(mps_forward(ref_mps2, phi_probe)),
+        rtol=1e-6,
+        atol=1e-8,
+    )
+
+
+def test_hybrid_mesh_with_bond_sharding():
+    """(data=4, model=2) mesh, sites sharded on the right bond leg."""
+    mps = _make_mps(N=12, M=8)
+    mesh = make_mesh(shape=(4, 2))
+    B = 16
+    x = RNG.random((B, mps.N))
+    y = RNG.integers(0, 2, B)
+
+    phi = psi_embed(jnp.asarray(x))
+    y_onehot = jax.nn.one_hot(jnp.asarray(y), 2, dtype=jnp.float64).T
+    cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn)
+    ref_mps, _, _, _ = sweep_once(mps, phi, y_onehot, 0.01, 1.0, cfg)
+
+    trainer = ShardedTrainer(mesh, mps, lr=0.01, weight_dec=1.0,
+                             shard_bonds=True)
+    trainer.step(x, y)
+    np.testing.assert_allclose(
+        np.asarray(trainer.mps.sites), np.asarray(ref_mps.sites),
+        rtol=1e-6, atol=1e-8,
+    )
+    # the parameter output really is sharded over the model axis
+    shards = trainer.mps.sites.sharding
+    assert shards.is_equivalent_to(site_sharding(mesh), ndim=4)
+
+
+def test_sharded_forward_matches():
+    mps = _make_mps(N=10, M=6)
+    mesh = make_mesh()
+    B = 24
+    phi = psi_embed(jnp.asarray(RNG.random((B, mps.N))))
+    want = np.asarray(mps_forward(mps, phi))
+
+    from tensornetworkforml_tpu.parallel.mesh import replicate_params, shard_batch
+
+    mps_r = replicate_params(mesh, mps)
+    phi_s = shard_batch(mesh, phi)
+    got = np.asarray(mps_forward(mps_r, phi_s))
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_chain_parallel_env_stacks_match_sequential():
+    N, B, M = 9, 4, 5
+    mats = jnp.asarray(RNG.standard_normal((N, B, M, M)))
+    e0 = boundary_vector(M, dtype=mats.dtype)
+    np.testing.assert_allclose(
+        np.asarray(left_env_stack_parallel(mats, e0)),
+        np.asarray(left_env_stack(mats, e0)),
+        rtol=1e-9,
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(right_env_stack_parallel(mats, e0)),
+        np.asarray(right_env_stack(mats, e0)),
+        rtol=1e-9,
+        atol=1e-11,
+    )
