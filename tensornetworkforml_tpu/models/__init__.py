@@ -7,8 +7,20 @@ from tensornetworkforml_tpu.models.mps import (
     accuracy_from_scores,
 )
 from tensornetworkforml_tpu.models.network import Network
+from tensornetworkforml_tpu.models.canonical import (
+    canonical_init,
+    canonicalize,
+    left_canonicalize,
+    normalize_label,
+    right_canonicalize,
+)
 
 __all__ = [
+    "canonical_init",
+    "canonicalize",
+    "left_canonicalize",
+    "normalize_label",
+    "right_canonicalize",
     "MPS",
     "mps_init",
     "mps_forward",

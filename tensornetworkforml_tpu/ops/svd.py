@@ -24,18 +24,32 @@ import jax.numpy as jnp
 
 
 def truncated_svd_split(
-    bmat: jnp.ndarray, rank: int, method: str = "svd", keep=None
+    bmat: jnp.ndarray,
+    rank: int,
+    method: str = "svd",
+    keep=None,
+    split_mode: str = "shared",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Split ``bmat (I, J)`` into ``(I, rank) @ (rank, J)``.
 
-    Returns ``(U sqrt(S), sqrt(S) V^h)`` truncated to ``rank`` singular
-    values, with sqrt(S) shared between the factors as in the reference
-    (``Network_class.py:871, 912-915``). ``rank`` must be <= min(I, J).
+    ``split_mode``:
+      * ``"shared"``    -- ``(U sqrt(S), sqrt(S) V^h)``: sqrt(S) shared
+        between the factors as in the reference
+        (``Network_class.py:871, 912-915``).
+      * ``"canonical"`` -- ``(U, S V^h)``: the left factor is an isometry and
+        ALL weight travels with the label core. This keeps the MPS in
+        mixed-canonical form during sweeps, the standard DMRG gauge the
+        reference lacks; environment and transfer products then have norms
+        <= 1 and large-N float32 training cannot blow up (the reference's
+        own report, section VI, identifies this instability as why it never
+        learned MNIST).
 
     ``keep`` (optional, traced int) additionally zeroes singular values
     beyond the first ``keep`` -- equivalent to a harder truncation but with
     static output shapes, used to reproduce the reference's evolving
     bond-rank rule (``Network_class.py:894-910``) inside a compiled scan.
+
+    ``rank`` must be <= min(I, J).
     """
     if method == "svd":
         U, S, Vh = jnp.linalg.svd(bmat, full_matrices=False)
@@ -44,33 +58,46 @@ def truncated_svd_split(
         Vh = Vh[:rank, :]
         if keep is not None:
             S = jnp.where(jnp.arange(rank) < keep, S, 0.0)
-        sqrt_s = jnp.sqrt(jnp.maximum(S, 0.0))
+        S = jnp.maximum(S, 0.0)
+        if split_mode == "canonical":
+            return U, S[:, None] * Vh
+        sqrt_s = jnp.sqrt(S)
         return U * sqrt_s[None, :], sqrt_s[:, None] * Vh
     elif method == "gram":
-        return _gram_split(bmat, rank, keep)
+        return _gram_split(bmat, rank, keep, split_mode)
     else:
         raise ValueError(f"unknown SVD method {method!r}")
 
 
 def _gram_split(
-    bmat: jnp.ndarray, rank: int, keep=None
+    bmat: jnp.ndarray, rank: int, keep=None, split_mode: str = "shared"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Truncated split via eigh of the smaller Gram matrix."""
+    """Truncated split via eigh of the smaller Gram matrix.
+
+    Only implemented for I <= J with the left factor from the Gram side
+    (always the case for the two-site tensor, rows (M*D) <= cols (L*D*M)).
+    """
     I, J = bmat.shape
-    if I <= J:
-        gram = bmat @ bmat.T  # (I, I), symmetric PSD
-        evals, evecs = jnp.linalg.eigh(gram)  # ascending
-        # top-`rank` eigenpairs
-        evals = evals[::-1][:rank]
-        U = evecs[:, ::-1][:, :rank]  # (I, rank)
-        if keep is not None:
-            evals = jnp.where(jnp.arange(rank) < keep, evals, 0.0)
-        S = jnp.sqrt(jnp.maximum(evals, 0.0))
-        sqrt_s = jnp.sqrt(S)
-        # sqrt(S) V^h = sqrt(S) S^{-1} U^T B ; guard zero singular values
-        inv = jnp.where(S > 0, 1.0 / jnp.maximum(S, 1e-30), 0.0)
-        svh = (sqrt_s * inv)[:, None] * (U.T @ bmat)
-        return U * sqrt_s[None, :], svh
-    else:
-        right, left_t = _gram_split(bmat.T, rank, keep)
-        return left_t.T, right.T
+    if I > J:
+        # tall case: recurse on the transpose (swaps the factors). The
+        # canonical gauge is left-sided, so only 'shared' supports this.
+        assert split_mode == "shared", "canonical gram split expects wide"
+        right, left = _gram_split(bmat.T, rank, keep, split_mode)
+        return left.T, right.T
+    gram = bmat @ bmat.T  # (I, I), symmetric PSD
+    evals, evecs = jnp.linalg.eigh(gram)  # ascending
+    # top-`rank` eigenpairs
+    evals = evals[::-1][:rank]
+    U = evecs[:, ::-1][:, :rank]  # (I, rank)
+    if keep is not None:
+        evals = jnp.where(jnp.arange(rank) < keep, evals, 0.0)
+    S = jnp.sqrt(jnp.maximum(evals, 0.0))
+    if split_mode == "canonical":
+        # S V^h = U^T B exactly (no scaling needed)
+        mask = (S > 0).astype(bmat.dtype)
+        return U, (U.T @ bmat) * mask[:, None]
+    sqrt_s = jnp.sqrt(S)
+    # sqrt(S) V^h = sqrt(S) S^{-1} U^T B ; guard zero singular values
+    inv = jnp.where(S > 0, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    svh = (sqrt_s * inv)[:, None] * (U.T @ bmat)
+    return U * sqrt_s[None, :], svh

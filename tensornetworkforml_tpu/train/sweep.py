@@ -67,6 +67,10 @@ class SweepConfig(NamedTuple):
     svd_method: str = "svd"
     debug: bool = False
     rank_mode: str = "fixed"
+    # "shared": sqrt(S) on both factors (reference semantics).
+    # "canonical": isometric left factor, weight travels with the label core
+    # (mixed-canonical gauge; required for large-N float32 stability).
+    split_mode: str = "shared"
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -172,7 +176,7 @@ def _sweep_right_arrays(
         bmat = B_new.reshape(M * D, L * D * M)
         keep = rank if cfg.rank_mode == "reference" else None
         left_flat, right_flat = truncated_svd_split(
-            bmat, M, cfg.svd_method, keep=keep
+            bmat, M, cfg.svd_method, keep=keep, split_mode=cfg.split_mode
         )
         A_left = left_flat.reshape(M, D, M)
         label_new = right_flat.reshape(M, L, D, M).transpose(0, 2, 1, 3)

@@ -79,6 +79,7 @@ def train_model(
     L2_flag: bool = True,
     debug: bool = False,
     svd_method: str = "svd",
+    split_mode: str = "shared",
     verbose: bool = True,
     epoch_callback: Optional[Callable] = None,
 ):
@@ -94,6 +95,7 @@ def train_model(
         L2_flag=L2_flag,
         svd_method=svd_method,
         debug=debug,
+        split_mode=split_mode,
     )
     series = _DEBUG_SERIES if debug else _PLAIN_SERIES
     val_acc: list[float] = []
