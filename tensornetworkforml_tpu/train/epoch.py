@@ -1,0 +1,132 @@
+"""Whole-epoch fused training: one XLA program per epoch.
+
+The reference's training loop is a Python loop of ~10-20 array ops per
+batch; on an accelerator behind a dispatch boundary every eager op is a
+round trip. Here an ENTIRE epoch -- embedding, forward, and one full
+two-site sweep per batch, directions alternating per batch exactly like the
+reference (``Network_class.py:323-333``) -- is a single ``jit`` containing a
+``lax.scan`` over batch PAIRS (right sweep + mirrored left sweep), so an
+epoch is ONE device dispatch regardless of batch count.
+
+Requires uniform batch shapes (drop-last loaders); odd batch counts process
+the final batch in the next epoch's leading position -- callers pass an even
+number of batches (the canonical loaders use drop_last anyway).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tensornetworkforml_tpu.models.mps import MPS
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+from tensornetworkforml_tpu.train.sweep import (
+    SweepConfig,
+    _mirror_label,
+    _mirror_sites,
+    _sweep_right_arrays,
+)
+
+
+@partial(jax.jit, static_argnames=("T", "cfg", "n_labels"))
+def _epoch_scan(
+    sites, label_site, x_epoch, y_epoch, lr, weight_dec, ranks, T, cfg,
+    n_labels,
+):
+    """x_epoch (2*pairs, B, N) raw pixels; y_epoch (2*pairs, B) int labels.
+
+    The label leg must start at site 0. Returns
+    ``(sites, label_site, accs (2*pairs,), maes (2*pairs, N-1))``.
+    """
+    dtype = sites.dtype
+
+    def one_sweep(sites, label_site, x, y, left_dir):
+        phi = psi_embed(x.astype(dtype))
+        y_onehot = jax.nn.one_hot(y, n_labels, dtype=dtype).T
+        if left_dir:
+            new_s, new_l, f0, _, metrics = _sweep_right_arrays(
+                _mirror_sites(sites),
+                _mirror_label(label_site),
+                jnp.flip(phi, axis=1),
+                y_onehot,
+                lr,
+                weight_dec,
+                ranks,
+                T,
+                cfg,
+            )
+            new_s, new_l = _mirror_sites(new_s), _mirror_label(new_l)
+        else:
+            new_s, new_l, f0, _, metrics = _sweep_right_arrays(
+                sites, label_site, phi, y_onehot, lr, weight_dec, ranks, T,
+                cfg,
+            )
+        acc = jnp.mean((jnp.argmax(f0, axis=0) == y).astype(dtype))
+        return new_s, new_l, acc, metrics["MAE"]
+
+    pairs = x_epoch.shape[0] // 2
+    xs = (
+        x_epoch.reshape(pairs, 2, *x_epoch.shape[1:]),
+        y_epoch.reshape(pairs, 2, *y_epoch.shape[1:]),
+    )
+
+    def pair_step(carry, x):
+        sites, label_site = carry
+        xp, yp = x
+        sites, label_site, acc_r, mae_r = one_sweep(
+            sites, label_site, xp[0], yp[0], False
+        )
+        sites, label_site, acc_l, mae_l = one_sweep(
+            sites, label_site, xp[1], yp[1], True
+        )
+        return (sites, label_site), (
+            jnp.stack([acc_r, acc_l]),
+            jnp.stack([mae_r, mae_l]),
+        )
+
+    (sites, label_site), (accs, maes) = jax.lax.scan(
+        pair_step, (sites, label_site), xs
+    )
+    return sites, label_site, accs.reshape(-1), maes.reshape(
+        2 * pairs, -1
+    )
+
+
+def fused_epoch(
+    mps: MPS,
+    x_epoch,
+    y_epoch,
+    lr: float,
+    weight_dec: float,
+    cfg: SweepConfig = None,
+):
+    """Run one fused epoch; the label leg must start at site 0 and the
+    number of batches must be even (direction alternates per batch, so the
+    label returns to site 0 at the end).
+
+    Returns ``(new_mps, accs (n_batches,), maes (n_batches, N-1))``.
+    """
+    if cfg is None:
+        cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn)
+    if mps.l_pos != 0:
+        raise ValueError("fused_epoch expects the label leg at site 0")
+    if x_epoch.shape[0] % 2 != 0:
+        raise ValueError("fused_epoch needs an even number of batches")
+    ranks = jnp.full((mps.N - 1,), mps.M, dtype=jnp.int32)
+    lr = jnp.asarray(lr, dtype=mps.dtype)
+    weight_dec = jnp.asarray(weight_dec, dtype=mps.dtype)
+    sites, label_site, accs, maes = _epoch_scan(
+        mps.sites,
+        mps.label_site,
+        jnp.asarray(x_epoch),
+        jnp.asarray(y_epoch),
+        lr,
+        weight_dec,
+        ranks,
+        mps.T,
+        cfg,
+        mps.L,
+    )
+    return mps.replace(sites=sites, label_site=label_site), accs, maes

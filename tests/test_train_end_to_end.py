@@ -158,3 +158,42 @@ def test_train_with_plain_weight_decay():
         verbose=False,
     )
     assert max(val_acc) >= 0.9, f"val accuracy too low: {val_acc}"
+
+
+def test_fused_epoch_matches_sequential_sweeps():
+    """The whole-epoch fused scan must equal per-batch sweep_once calls."""
+    from tensornetworkforml_tpu.train.epoch import fused_epoch
+    from tensornetworkforml_tpu.train.sweep import SweepConfig, sweep_once
+
+    data, labels = create_dataset(256, 5, 0.5, seed=12)
+    nb, B = 4, 64
+    x = data.reshape(256, -1).astype(np.float64).reshape(nb, B, 25)
+    y = labels.astype(np.int32).reshape(nb, B)
+    mps = mps_init(
+        jax.random.PRNGKey(4), N=25, M=6, L=2, normalize=True,
+        calibration_phi=psi_embed(jnp.asarray(x[0][:16])),
+        act_fn="softmax", loss_fn="full_cross_ent", dtype=jnp.float64,
+    )
+    cfg = SweepConfig(act_fn="softmax", loss_fn="full_cross_ent")
+
+    ref = mps
+    ref_accs = []
+    for i in range(nb):
+        phi = psi_embed(jnp.asarray(x[i]))
+        y1h = jax.nn.one_hot(jnp.asarray(y[i]), 2, dtype=jnp.float64).T
+        ref, f0, _, _ = sweep_once(ref, phi, y1h, 0.02, 1.0, cfg)
+        ref_accs.append(
+            float(jnp.mean((jnp.argmax(f0, axis=0) == jnp.asarray(y[i]))))
+        )
+
+    fused, accs, maes = fused_epoch(mps, x, y, 0.02, 1.0, cfg)
+    np.testing.assert_allclose(np.asarray(accs), ref_accs, atol=1e-12)
+    assert maes.shape == (nb, 24)
+    phi_probe = psi_embed(jnp.asarray(x[0][:8]))
+    from tensornetworkforml_tpu.models.mps import mps_forward
+
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(fused, phi_probe)),
+        np.asarray(mps_forward(ref, phi_probe)),
+        rtol=1e-8, atol=1e-10,
+    )
