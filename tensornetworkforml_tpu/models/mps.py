@@ -142,6 +142,71 @@ def mps_init(
     return mps
 
 
+def product_init(
+    key: jax.Array,
+    N: int,
+    M: int,
+    D: int = 2,
+    L: int = 10,
+    T: float = 0.1,
+    noise: float = 1e-2,
+    act_fn: str = "softmax",
+    loss_fn: str = "cross_entropy",
+    dtype=jnp.float32,
+    embed_mean: float = None,
+) -> MPS:
+    """Near-identity ("product state + noise") initialisation.
+
+    Each site is ``A[l,d,r] = delta_{lr} / c + noise`` with
+    ``c = E[sum_d psi_d(x)]`` (= 4/pi for the sin/cos feature map on
+    uniform pixels), so a chain contraction multiplies the environment by a
+    factor of mean ~1 at EVERY site and the output is O(1) for ANY chain
+    length. Random-tensor inits (the reference's, ``Tensor_class.py:62-64``)
+    make environments decay like (1/sqrt(D))^N -- ~1e-11 at N=196 -- so
+    gradients vanish and nothing learns; this init is the standard fix in
+    MPS machine-learning practice and is what the large-N training
+    configurations use.
+    """
+    assert act_fn in ACT_FNS and loss_fn in LOSS_FNS
+    if embed_mean is None:
+        embed_mean = float(4.0 / jnp.pi)  # E[sin(pi x/2) + cos(pi x/2)], x~U[0,1]
+    base = 1.0 / embed_mean
+
+    k_sites, k_label = jax.random.split(key)
+    eye = jnp.eye(M, dtype=dtype)  # (l, r)
+    core = base * eye[:, None, :] / 1.0  # (l, d->broadcast, r)
+    core = jnp.broadcast_to(core, (M, D, M))
+
+    sites = jnp.broadcast_to(core, (N, M, D, M))
+    sites = sites + noise * jax.random.normal(k_sites, (N, M, D, M), dtype=dtype)
+    # edge padding: only the boundary row/col of the edge sites is live
+    sites = sites.at[N - 1].set(
+        jnp.zeros((M, D, M), dtype=dtype)
+        .at[:, :, 0]
+        .set(core[:, :, 0] + noise * jax.random.normal(
+            jax.random.fold_in(k_sites, 1), (M, D), dtype=dtype))
+    )
+    # slot 0 is the label site; zero the unused slot
+    sites = sites.at[0].set(jnp.zeros((M, D, M), dtype=dtype))
+
+    label_core = base * eye[:, None, None, :]  # (l, d, o, r) broadcast base
+    label_site = jnp.broadcast_to(label_core, (M, D, L, M))
+    label_site = label_site + noise * jax.random.normal(
+        k_label, (M, D, L, M), dtype=dtype
+    )
+    # label sits at site 0: only the boundary row is live
+    label_site = jnp.zeros((M, D, L, M), dtype=dtype).at[0].set(label_site[0])
+
+    return MPS(
+        sites=sites,
+        label_site=label_site,
+        l_pos=0,
+        act_fn=act_fn,
+        loss_fn=loss_fn,
+        T=T,
+    )
+
+
 def calibrate(mps: MPS, phi: jnp.ndarray, check: bool = False) -> MPS:
     """Two-pass output calibration (reference ``Network_class.py:165-182``).
 

@@ -231,8 +231,13 @@ class Network:
         L2_flag: bool = True,
         debug: bool = False,
         verbose: bool = True,
+        split_mode: str = "shared",
     ):
-        """Reference-compatible training loop; returns ``(val_acc, var_hist)``."""
+        """Reference-compatible training loop; returns ``(val_acc, var_hist)``.
+
+        ``split_mode="canonical"`` selects the gauge-fixed DMRG sweep
+        (recommended for long chains / float32; see ``models/canonical.py``).
+        """
         from tensornetworkforml_tpu.train.trainer import train_model
 
         self.mps, val_acc, var_hist = train_model(
@@ -245,6 +250,7 @@ class Network:
             L2_flag=L2_flag,
             debug=debug,
             verbose=verbose,
+            split_mode=split_mode,
         )
         return val_acc, var_hist
 

@@ -1,0 +1,75 @@
+"""CLI entry point tests: reference-compatible flags, end-to-end runs."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, reference_available
+
+
+def test_training_and_test_diagonals_cli(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    from tensornetworkforml_tpu.cli.training_diagonals import main as train_main
+    from tensornetworkforml_tpu.cli.test_diagonals import main as test_main
+
+    val_acc = train_main([
+        "--n_samples", "1200", "--linear_dim", "5", "--sigma", "0.5",
+        "--M", "6", "--n_epochs", "3", "--lr", "0.02", "--seed", "0",
+        "--out", str(tmp_path / "model.npz"),
+        "--results_dir", str(tmp_path / "results"),
+    ])
+    assert max(val_acc) >= 0.95
+    assert os.path.exists(tmp_path / "model.npz")
+    # plots written when matplotlib is present
+    try:
+        import matplotlib  # noqa: F401
+
+        assert os.path.exists(tmp_path / "results" / "diag_accuracy.png")
+        assert os.path.exists(tmp_path / "results" / "diag_MAE.png")
+    except ImportError:
+        pass
+
+    acc, mae = test_main([
+        "--filename", str(tmp_path / "model.npz"),
+        "--n_samples", "400", "--sigma", "0.5", "--seed", "1",
+    ])
+    assert acc >= 0.9
+    assert 0.0 <= mae <= 1.0
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference absent")
+def test_test_diagonals_cli_accepts_reference_pickle(tmp_path, monkeypatch):
+    """The evaluation CLI must load the reference's .dat checkpoints."""
+    monkeypatch.chdir(tmp_path)
+    from tensornetworkforml_tpu.cli.test_diagonals import main as test_main
+
+    acc, mae = test_main([
+        "--filename", f"{REFERENCE_DIR}/trained_diag_model.dat",
+        "--n_samples", "400", "--sigma", "0.6", "--seed", "2",
+    ])
+    assert acc >= 0.9  # the shipped reference model solves this task
+
+
+def test_training_binary_mnist_cli_synthetic(tmp_path, monkeypatch):
+    """Full binary-MNIST pipeline on the synthetic stand-in dataset."""
+    monkeypatch.chdir(tmp_path)
+    from tensornetworkforml_tpu.cli.training_binary_MNIST import (
+        main as train_main,
+    )
+    from tensornetworkforml_tpu.cli.test_binary_MNIST import main as test_main
+
+    val_acc = train_main([
+        "--synthetic", "--n_epochs", "2", "--n_train_batch", "4",
+        "--seed", "0",
+        "--out", str(tmp_path / "mnist.npz"),
+        "--results_dir", str(tmp_path / "results"),
+    ])
+    assert os.path.exists(tmp_path / "mnist.npz")
+    # synthetic 0-vs-1 classes are separable; should learn well
+    assert max(val_acc) >= 0.9, f"val accuracy too low: {val_acc}"
+
+    acc, mae = test_main([
+        "--filename", str(tmp_path / "mnist.npz"), "--synthetic",
+    ])
+    assert acc >= 0.9
