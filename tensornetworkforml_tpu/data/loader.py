@@ -90,9 +90,14 @@ class ArrayLoader:
 
 
 def psi_embed_host(x: np.ndarray) -> np.ndarray:
-    """Host-side psi embedding ``(..., N) -> (..., N, 2)`` (parity mode)."""
-    half_pi_x = (np.pi / 2.0) * x
-    return np.stack([np.sin(half_pi_x), np.cos(half_pi_x)], axis=-1)
+    """Host-side psi embedding ``(..., N) -> (..., N, 2)`` (parity mode).
+
+    Uses the multithreaded native kernel when available
+    (``native/data_core.cpp``), with an identical NumPy fallback.
+    """
+    from tensornetworkforml_tpu.data import native
+
+    return native.psi_embed(np.ascontiguousarray(x))
 
 
 def prepare_dataset(

@@ -32,9 +32,8 @@ from flax import struct
 from tensornetworkforml_tpu.ops.contractions import (
     boundary_vector,
     chain_scores,
-    left_env_final,
-    right_env_final,
-    site_mats,
+    left_env_final_fused,
+    right_env_final_fused,
 )
 from tensornetworkforml_tpu.ops.embedding import psi_embed
 
@@ -228,14 +227,16 @@ def _forward_arrays(sites, label_site, phi, l_pos: int):
     N, M, D, _ = sites.shape
     B = phi.shape[0]
     e0 = boundary_vector(M, dtype=sites.dtype)
-    mats = site_mats(sites, phi)
+    phi_t = phi.transpose(1, 0, 2)  # site-major (N, B, D)
 
     if l_pos > 0:
-        left = left_env_final(mats[:l_pos], e0)
+        left = left_env_final_fused(sites[:l_pos], phi_t[:l_pos], e0)
     else:
         left = jnp.broadcast_to(e0, (B, M))
     if l_pos < N - 1:
-        right = right_env_final(mats[l_pos + 1 :], e0)
+        right = right_env_final_fused(
+            sites[l_pos + 1 :], phi_t[l_pos + 1 :], e0
+        )
     else:
         right = jnp.broadcast_to(e0, (B, M))
 

@@ -84,6 +84,52 @@ def right_env_stack(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([ys, v0[None]], axis=0)
 
 
+def left_env_stack_fused(
+    sites: jnp.ndarray, phi_t: jnp.ndarray, e0: jnp.ndarray
+) -> jnp.ndarray:
+    """Prefix environments with the site-input contraction fused in.
+
+    ``sites (n, M, D, M)``, ``phi_t (n, B, D)`` (site-major). Equivalent to
+    ``left_env_stack(site_mats(sites, phi), e0)`` but never materialises the
+    ``(N, B, M, M)`` transfer-matrix stack in HBM -- the per-site matrices
+    live only in registers/VMEM inside the scan body. This is the fusion the
+    BASELINE north star asks for (embedding fused into the first
+    contraction) generalised to every site.
+    """
+    n, B = phi_t.shape[0], phi_t.shape[1]
+    M = sites.shape[1]
+    v0 = jnp.broadcast_to(e0, (B, M))
+
+    def step(v, x):
+        A, p = x
+        v_new = jnp.einsum("bl,bd,ldr->br", v, p, A)
+        return v_new, v_new
+
+    _, ys = jax.lax.scan(step, v0, (sites, phi_t))
+    return jnp.concatenate([v0[None], ys], axis=0)
+
+
+def right_env_stack_fused(
+    sites: jnp.ndarray, phi_t: jnp.ndarray, e0: jnp.ndarray
+) -> jnp.ndarray:
+    """Suffix environments with the site-input contraction fused in.
+
+    Equivalent to ``right_env_stack(site_mats(sites, phi), e0)``; see
+    ``left_env_stack_fused``.
+    """
+    n, B = phi_t.shape[0], phi_t.shape[1]
+    M = sites.shape[1]
+    v0 = jnp.broadcast_to(e0, (B, M))
+
+    def step(v, x):
+        A, p = x
+        v_new = jnp.einsum("ldr,bd,br->bl", A, p, v)
+        return v_new, v_new
+
+    _, ys = jax.lax.scan(step, v0, (sites, phi_t), reverse=True)
+    return jnp.concatenate([ys, v0[None]], axis=0)
+
+
 def left_env_stack_parallel(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
     """All left environments via ``associative_scan`` (chain-parallel).
 
@@ -119,6 +165,36 @@ def right_env_stack_parallel(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:
     B, M = mats.shape[1], mats.shape[2]
     v0 = jnp.broadcast_to(e0, (B, M))
     return jnp.concatenate([envs, v0[None]], axis=0)
+
+
+def left_env_final_fused(
+    sites: jnp.ndarray, phi_t: jnp.ndarray, e0: jnp.ndarray
+) -> jnp.ndarray:
+    """Final left environment ``(B, M)``, embedding fused, no stacks."""
+    B, M = phi_t.shape[1], sites.shape[1]
+    v0 = jnp.broadcast_to(e0, (B, M))
+
+    def step(v, x):
+        A, p = x
+        return jnp.einsum("bl,bd,ldr->br", v, p, A), None
+
+    v, _ = jax.lax.scan(step, v0, (sites, phi_t))
+    return v
+
+
+def right_env_final_fused(
+    sites: jnp.ndarray, phi_t: jnp.ndarray, e0: jnp.ndarray
+) -> jnp.ndarray:
+    """Final right environment ``(B, M)``, embedding fused, no stacks."""
+    B, M = phi_t.shape[1], sites.shape[1]
+    v0 = jnp.broadcast_to(e0, (B, M))
+
+    def step(v, x):
+        A, p = x
+        return jnp.einsum("ldr,bd,br->bl", A, p, v), None
+
+    v, _ = jax.lax.scan(step, v0, (sites, phi_t), reverse=True)
+    return v
 
 
 def left_env_final(mats: jnp.ndarray, e0: jnp.ndarray) -> jnp.ndarray:

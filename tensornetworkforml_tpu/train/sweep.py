@@ -40,8 +40,7 @@ from tensornetworkforml_tpu.models.mps import (
 from tensornetworkforml_tpu.ops.contractions import (
     boundary_vector,
     chain_scores,
-    right_env_stack,
-    site_mats,
+    right_env_stack_fused,
     transfer_append,
     transfer_suffix_stack,
 )
@@ -107,8 +106,10 @@ def _sweep_right_arrays(
     e0 = boundary_vector(M, dtype=dtype)
 
     # --- per-batch precomputation (the reference's `forward` + env caches) ---
-    mats = site_mats(sites, phi)  # (N,B,M,M); index 0 unused (label there)
-    r_envs = right_env_stack(mats, e0)  # (N+1,B,M), stale during the sweep
+    # suffix environments with the psi-contraction fused (no (N,B,M,M)
+    # intermediate); index 0 unused (the label sits there)
+    phi_t = phi.transpose(1, 0, 2)  # (N, B, D)
+    r_envs = right_env_stack_fused(sites, phi_t, e0)  # (N+1,B,M), stale
     f0 = chain_scores(
         jnp.broadcast_to(e0, (B_sz, M)), label_site, phi[:, 0, :], r_envs[1]
     )
@@ -119,8 +120,8 @@ def _sweep_right_arrays(
         r2 = jnp.zeros((N + 1, M, M), dtype=dtype)
 
     xs = (
-        phi[:, :-1, :].transpose(1, 0, 2),  # x1s  (N-1,B,D)
-        phi[:, 1:, :].transpose(1, 0, 2),  # x2s  (N-1,B,D)
+        phi_t[:-1],  # x1s  (N-1,B,D)
+        phi_t[1:],  # x2s  (N-1,B,D)
         sites[1:],  # A2s  (N-1,M,D,M): reads are always pre-sweep sites
         r_envs[2:],  # stale right environments, step l uses r_envs[l+2]
         r2[2:],  # stale right transfer products
