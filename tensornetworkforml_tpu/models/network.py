@@ -254,6 +254,89 @@ class Network:
         )
         return val_acc, var_hist
 
+    def tensor_svd(self, T: Tensor, left_dir: bool = False,
+                   threshold: float = 0.999):
+        """Split a 2-D named tensor via truncated SVD, sqrt(S) shared.
+
+        Reference semantics (``Network_class.py:839-962``): ``T`` carries
+        ``aggregations['i']``/``['j']`` describing the grouped legs; middle
+        positions truncate to the pre-merge 'left' bond, chain ends keep
+        full rank; the ``threshold`` parameter is accepted for signature
+        parity (it is dead code in the reference too, see its docstring).
+        Returns ``(TU, TSVh)`` with the original legs disaggregated.
+        """
+        import jax.numpy as jnp
+
+        if len(T.shape) != 2:
+            raise ValueError("tensor_svd expects a 2-D tensor")
+        U, S, Vh = jnp.linalg.svd(T.elem, full_matrices=False)
+
+        l_pos, N = self.l_pos, self.N
+        middle = (not left_dir and 0 < l_pos < N - 2) or (
+            left_dir and 1 < l_pos < N - 1
+        )
+        if middle and "i" in T.aggregations and "left" in T.aggregations["i"]:
+            m = int(T.aggregations["i"]["left"])
+        else:
+            m = int(S.shape[0])
+        sqrt_s = jnp.sqrt(jnp.maximum(S[:m], 0.0))
+        TU = Tensor(elem=U[:, :m] * sqrt_s[None, :], axes_names=["i", "right"])
+        TSVh = Tensor(elem=sqrt_s[:, None] * Vh[:m, :], axes_names=["left", "j"])
+        if "i" in T.aggregations:
+            TU.aggregations["i"] = dict(T.aggregations["i"])
+            TU.disaggregate("i")
+        if "j" in T.aggregations:
+            TSVh.aggregations["j"] = dict(T.aggregations["j"])
+            TSVh.disaggregate("j")
+        return TU, TSVh
+
+    def compute_L2_reg(self, B: Tensor, weight_dec: float = 0.001,
+                       left_dir: bool = False):
+        """Exact L2 norm of the full MPS as a function of the two-site
+        tensor B, and its gradient (reference ``Network_class.py:966-1179``).
+
+        ``B`` is a named Tensor with (optional) 'left'/'right' bond axes;
+        the left/right transfer-product environments are computed from the
+        current padded site stack. Returns ``(loss_term, derivate)`` with
+        ``derivate`` scaled by ``2 * weight_dec`` as in the reference.
+        """
+        import jax.numpy as jnp
+
+        from tensornetworkforml_tpu.ops.contractions import (
+            boundary_vector,
+            transfer_append,
+            transfer_suffix_stack,
+        )
+
+        mps = self.mps
+        e0 = boundary_vector(mps.M, dtype=mps.dtype)
+        l = mps.l_pos
+        # reference env ranges: right sweep uses sites [0, l) and [l+2, N);
+        # left sweep uses [0, l-1) and [l+1, N)
+        left_end = l if not left_dir else l - 1
+        right_start = l + 2 if not left_dir else l + 1
+
+        E_left = jnp.outer(e0, e0)
+        for n in range(left_end):
+            site = mps.sites[n]
+            E_left = transfer_append(E_left, site)
+        r2 = transfer_suffix_stack(mps.sites, e0)[right_start]
+
+        axes = [str(a) for a in B.axes_names]
+        elem = B.elem
+        deriv = elem
+        if "left" in axes:
+            li = axes.index("left")
+            deriv = jnp.tensordot(E_left, deriv, axes=([1], [li]))
+            deriv = jnp.moveaxis(deriv, 0, li)
+        if "right" in axes:
+            ri = axes.index("right")
+            deriv = jnp.tensordot(deriv, r2, axes=([ri], [0]))
+            deriv = jnp.moveaxis(deriv, -1, ri)
+        loss_term = float(weight_dec * jnp.sum(elem * deriv))
+        derivate = Tensor(elem=2.0 * weight_dec * deriv, axes_names=axes)
+        return loss_term, derivate
+
     # -- persistence ---------------------------------------------------------
 
     def save(self, path: str) -> None:

@@ -57,16 +57,14 @@ def _right_env_kernel(x_ref, sin_ref, cos_ref, out_ref, v_ref, *, chunk: int):
         c = jnp.cos(half_pi_x)
 
         v = v_ref[:, :]  # (M_r, B)
-        a_sin = sin_ref[0, k, :, :]  # (M_l, M_r)
-        a_cos = cos_ref[0, k, :, :]
-        # v'[l, b] = sum_r A[l, d, r] psi_d(x_b) v[r, b]
-        t_sin = jax.lax.dot_general(
-            a_sin, v, dn, preferred_element_type=jnp.float32
+        # one MXU call per site: A_cat (M, 2M) @ [s*v; c*v] (2M, B)
+        a_cat = jnp.concatenate(
+            [sin_ref[0, k, :, :], cos_ref[0, k, :, :]], axis=1
         )
-        t_cos = jax.lax.dot_general(
-            a_cos, v, dn, preferred_element_type=jnp.float32
-        )
-        v_ref[:, :] = (s * t_sin + c * t_cos).astype(v_ref.dtype)
+        w = jnp.concatenate([s * v, c * v], axis=0)  # (2M, B)
+        v_ref[:, :] = jax.lax.dot_general(
+            a_cat, w, dn, preferred_element_type=jnp.float32
+        ).astype(v_ref.dtype)
 
     @pl.when(i == n_steps - 1)
     def _done():
