@@ -14,7 +14,7 @@ Two recipes:
 * ``--recipe tpu`` (default): near-identity product init + canonical-gauge
   sweeps + linear activation + MSE loss -- the configuration that actually
   learns at chain length 196 in float32 (the original Stoudenmire-Schwab
-  setup with the gauge fixing the reference lacks). Defaults: M=8, lr=0.2.
+  setup with the gauge fixing the reference lacks). Defaults: M=8, lr=0.05.
 * ``--recipe reference``: the reference's exact configuration (random init
   + output calibration, shared-sqrt(S) split, softmax + full cross-entropy,
   M=3, lr=0.001). NOTE: the reference's own published run of this recipe
@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Bond dimension (default: 8 tpu recipe, 3 reference)")
     p.add_argument("--n_epochs", type=int, default=3, help="Number of epochs")
     p.add_argument("--lr", type=float, default=None,
-                   help="Learning Rate (default: 0.2 tpu recipe, 0.001 reference)")
+                   help="Learning Rate (default: 0.05 tpu recipe, 0.001 reference)")
     p.add_argument("--L2_decay", type=float, default=None,
                    help="Weight decay (default: 1e-4 tpu recipe, 1e-56 reference)")
     p.add_argument("--act_fn", type=str, default=None)
@@ -64,9 +64,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     tpu_recipe = args.recipe == "tpu"
     M = args.M if args.M is not None else (8 if tpu_recipe else 3)
-    lr = args.lr if args.lr is not None else (0.2 if tpu_recipe else 0.001)
+    lr = args.lr if args.lr is not None else (0.05 if tpu_recipe else 0.001)
     wd = args.L2_decay if args.L2_decay is not None else (
-        1e-4 if tpu_recipe else 1e-56
+        1e-5 if tpu_recipe else 1e-56
     )
     act_fn = args.act_fn or ("linear" if tpu_recipe else "softmax")
     loss_fn = args.loss_fn or ("MSE" if tpu_recipe else "full_cross_ent")
@@ -95,13 +95,15 @@ def main(argv=None):
     seed = args.seed if args.seed is not None else 0
     net = Network.__new__(Network)
     if tpu_recipe:
+        x_cal, _ = next(train_loader.batches())
         net.mps = product_init(
             jax.random.PRNGKey(seed), N=data01[0].size, M=M, L=2,
             act_fn=act_fn, loss_fn=loss_fn, dtype=jnp.float32,
+            calibration_x=x_cal[:256],
         )
         net.mps, val_acc, var_hist = train_model(
             net.mps, train_loader, val_loader, lr=lr, n_epochs=args.n_epochs,
-            weight_dec=wd, split_mode="canonical",
+            weight_dec=wd, L2_flag=False, split_mode="canonical",
         )
     else:
         x_cal, _ = next(train_loader.batches())

@@ -1,0 +1,135 @@
+"""Train the MPS classifier on full 10-class MNIST (28x28 or pooled 14x14).
+
+A configuration the reference never supported (it stops at pooled binary
+MNIST and its report, section VI, records the algorithm failing even
+there); this is the BASELINE.json north-star config family: 10-class MNIST,
+label-leg MPS, bond dim 20-50+.
+
+    python -m tensornetworkforml_tpu.cli.training_mnist --data_dir datasets
+    python -m tensornetworkforml_tpu.cli.training_mnist --synthetic --pool
+
+Recipe: per-site-calibrated product-state init + canonical-gauge two-site
+sweeps + linear activation / MSE loss (see ``models/mps.py::product_init``).
+MNIST is read from local IDX files; ``--synthetic`` substitutes the
+deterministic stand-in.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Train the Tensor Network on 10-class MNIST"
+    )
+    p.add_argument("--data_dir", type=str, default="datasets")
+    p.add_argument("--pool", action="store_true",
+                   help="2x2 max-pool 28x28 -> 14x14 (N=196 instead of 784)")
+    p.add_argument("--M", type=int, default=32, help="Bond dimension")
+    p.add_argument("--n_epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--lr", type=float, default=0.2)
+    p.add_argument("--weight_dec", type=float, default=1e-5)
+    p.add_argument("--act_fn", type=str, default="linear")
+    p.add_argument("--loss_fn", type=str, default="MSE")
+    p.add_argument("--out", type=str, default="trained_mnist10_model.npz")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--dp", action="store_true",
+                   help="Shard the batch over all devices (data parallel)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensornetworkforml_tpu.data.loader import prepare_dataset
+    from tensornetworkforml_tpu.data.mnist import (
+        get_MNIST_dataset,
+        max_pool_2x2,
+        synthetic_mnist,
+    )
+    from tensornetworkforml_tpu.models.mps import product_init
+    from tensornetworkforml_tpu.models.network import Network
+    from tensornetworkforml_tpu.train.trainer import (
+        evaluate_accuracy,
+        train_model,
+    )
+
+    if args.synthetic:
+        tr_x, tr_y, te_x, te_y = synthetic_mnist()
+    else:
+        tr_x, tr_y, te_x, te_y = get_MNIST_dataset(data_root_dir=args.data_dir)
+    n_train = len(tr_x)
+    data = np.concatenate([tr_x, te_x]) / 255.0
+    labels = np.concatenate([tr_y, te_y])
+    if args.pool:
+        data = max_pool_2x2(data)
+    N = data[0].size
+
+    train_perc = n_train / len(data)
+    train_loader, val_loader, test_loader = prepare_dataset(
+        data, labels, train_perc, 0.1,
+        train_batch_size=args.batch_size, val_batch_size=256,
+        test_batch_size=256, embed=False, seed=args.seed,
+    )
+
+    x_cal, _ = next(train_loader.batches())
+    mps = product_init(
+        jax.random.PRNGKey(args.seed), N=N, M=args.M, L=10,
+        act_fn=args.act_fn, loss_fn=args.loss_fn, dtype=jnp.float32,
+        calibration_x=x_cal[:256],
+    )
+
+    if args.dp:
+        from tensornetworkforml_tpu.parallel.dp import ShardedTrainer
+        from tensornetworkforml_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        trainer = ShardedTrainer(
+            mesh, mps, lr=args.lr, weight_dec=args.weight_dec, L2_flag=False,
+        )
+        # override split gauge for the sharded path
+        from tensornetworkforml_tpu.train.sweep import SweepConfig
+        from tensornetworkforml_tpu.parallel.dp import make_sharded_train_step
+
+        cfg = SweepConfig(act_fn=args.act_fn, loss_fn=args.loss_fn,
+                          L2_flag=False, split_mode="canonical")
+        trainer.cfg = cfg
+        trainer._steps = {
+            left: make_sharded_train_step(mesh, cfg, mps.T, 10, left)
+            for left in (False, True)
+        }
+        val_acc = []
+        for epoch in range(args.n_epochs):
+            accs = [trainer.step(x, y) for x, y in train_loader.batches()]
+            val = evaluate_accuracy(trainer.mps, val_loader)
+            val_acc.append(val)
+            print(f"Epoch {epoch}: train {np.mean(accs):.4f} val {val:.4f}")
+        mps = trainer.mps
+        var_hist = None
+    else:
+        mps, val_acc, var_hist = train_model(
+            mps, train_loader, val_loader, lr=args.lr,
+            n_epochs=args.n_epochs, weight_dec=args.weight_dec,
+            L2_flag=False, split_mode="canonical",
+        )
+
+    test_acc = evaluate_accuracy(mps, test_loader)
+    print(f"\nTest accuracy: {test_acc:.4f}")
+
+    net = Network.__new__(Network)
+    net.mps = mps
+    net.save(args.out)
+    print(f"Model saved to {args.out}")
+    return val_acc, test_acc
+
+
+if __name__ == "__main__":
+    main()

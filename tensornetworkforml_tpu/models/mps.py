@@ -152,43 +152,61 @@ def product_init(
     act_fn: str = "softmax",
     loss_fn: str = "cross_entropy",
     dtype=jnp.float32,
-    embed_mean: float = None,
+    calibration_x=None,
+    canonicalize: bool = False,
+    target_abs_f: float = 1.0,
 ) -> MPS:
     """Near-identity ("product state + noise") initialisation.
 
-    Each site is ``A[l,d,r] = delta_{lr} / c + noise`` with
-    ``c = E[sum_d psi_d(x)]`` (= 4/pi for the sin/cos feature map on
-    uniform pixels), so a chain contraction multiplies the environment by a
-    factor of mean ~1 at EVERY site and the output is O(1) for ANY chain
-    length. Random-tensor inits (the reference's, ``Tensor_class.py:62-64``)
-    make environments decay like (1/sqrt(D))^N -- ~1e-11 at N=196 -- so
-    gradients vanish and nothing learns; this init is the standard fix in
-    MPS machine-learning practice and is what the large-N training
-    configurations use.
+    Each site is ``A[l,d,r] = delta_{lr} / c_n + noise`` where ``c_n`` is
+    the DATA mean of ``sum_d psi_d(x_n)`` at that pixel (from
+    ``calibration_x``, raw pixels ``(B, N)``; without it the uniform-pixel
+    value 4/pi is used). A chain contraction then multiplies the
+    environment by a factor of mean ~1 at EVERY site, so the output is O(1)
+    for ANY chain length and any pixel statistics. Random-tensor inits (the
+    reference's, ``Tensor_class.py:62-64``) make environments decay like
+    (1/sqrt(D))^N -- ~1e-11 at N=196 -- so gradients vanish; un-calibrated
+    scales blow up/vanish on image data whose background pixels contract to
+    ``sin+cos = 1`` per site. Per-site data calibration is the product-state
+    analogue of the reference's output calibration
+    (``Network_class.py:165-182``).
+
+    The long-chain training recipe that works (100% on the 10-class
+    synthetic MNIST stand-in at N=196, float32) is this init
+    (``canonicalize=False``) + ``SweepConfig(split_mode="canonical",
+    L2_flag=False)`` + linear/MSE with lr ~0.2: the near-identity structure
+    keeps environments O(1) for the gradient signal, while the canonical
+    SPLIT keeps the updated left half isometric during the sweep. Setting
+    ``canonicalize=True`` gauge-fixes the init itself (bounded transfer
+    products, needed only if training with the exact-L2 regulariser whose
+    transfer products otherwise grow like (2/c^2)^N).
     """
     assert act_fn in ACT_FNS and loss_fn in LOSS_FNS
-    if embed_mean is None:
-        embed_mean = float(4.0 / jnp.pi)  # E[sin(pi x/2) + cos(pi x/2)], x~U[0,1]
-    base = 1.0 / embed_mean
+    if calibration_x is not None:
+        x = jnp.asarray(calibration_x, dtype=dtype)
+        psi_sum = jnp.sin(jnp.pi * x / 2) + jnp.cos(jnp.pi * x / 2)
+        c = jnp.maximum(jnp.mean(psi_sum, axis=0), 1e-3)  # (N,)
+    else:
+        c = jnp.full((N,), 4.0 / jnp.pi, dtype=dtype)
+    base = (1.0 / c).astype(dtype)  # (N,)
 
     k_sites, k_label = jax.random.split(key)
     eye = jnp.eye(M, dtype=dtype)  # (l, r)
-    core = base * eye[:, None, :] / 1.0  # (l, d->broadcast, r)
-    core = jnp.broadcast_to(core, (M, D, M))
+    core = jnp.broadcast_to(eye[:, None, :], (M, D, M))  # unscaled identity
 
-    sites = jnp.broadcast_to(core, (N, M, D, M))
+    sites = base[:, None, None, None] * core[None]
     sites = sites + noise * jax.random.normal(k_sites, (N, M, D, M), dtype=dtype)
     # edge padding: only the boundary row/col of the edge sites is live
     sites = sites.at[N - 1].set(
         jnp.zeros((M, D, M), dtype=dtype)
         .at[:, :, 0]
-        .set(core[:, :, 0] + noise * jax.random.normal(
+        .set(base[N - 1] * core[:, :, 0] + noise * jax.random.normal(
             jax.random.fold_in(k_sites, 1), (M, D), dtype=dtype))
     )
     # slot 0 is the label site; zero the unused slot
     sites = sites.at[0].set(jnp.zeros((M, D, M), dtype=dtype))
 
-    label_core = base * eye[:, None, None, :]  # (l, d, o, r) broadcast base
+    label_core = base[0] * eye[:, None, None, :]  # (l, d, o, r) broadcast
     label_site = jnp.broadcast_to(label_core, (M, D, L, M))
     label_site = label_site + noise * jax.random.normal(
         k_label, (M, D, L, M), dtype=dtype
@@ -196,7 +214,7 @@ def product_init(
     # label sits at site 0: only the boundary row is live
     label_site = jnp.zeros((M, D, L, M), dtype=dtype).at[0].set(label_site[0])
 
-    return MPS(
+    mps = MPS(
         sites=sites,
         label_site=label_site,
         l_pos=0,
@@ -204,6 +222,35 @@ def product_init(
         loss_fn=loss_fn,
         T=T,
     )
+
+    if canonicalize:
+        # Gauge-fix into right-canonical form (per-step renormalised scale,
+        # function preserved up to one scalar), then set the output scale on
+        # the calibration batch. Isometric sites bound every environment and
+        # L2 transfer product by 1 -- without this, the transfer products of
+        # a near-identity chain grow like (2/c^2)^N (~1e34 at N=196) and the
+        # exact-L2 gradient explodes (the failure the reference works around
+        # with weight decays like 1e-56, training_binary_MNIST.py:42).
+        from tensornetworkforml_tpu.models.canonical import (
+            _right_canonicalize_arrays,
+        )
+
+        new_sites, new_label = _right_canonicalize_arrays(
+            mps.sites, mps.label_site, renormalize=True
+        )
+        mps = mps.replace(sites=new_sites, label_site=new_label)
+        if calibration_x is not None:
+            phi_cal = psi_embed(jnp.asarray(calibration_x, dtype=dtype))
+        else:
+            k_cal = jax.random.fold_in(key, 7)
+            phi_cal = psi_embed(
+                jax.random.uniform(k_cal, (16, N), dtype=dtype)
+            )
+        f = mps_forward(mps, phi_cal)
+        scale = target_abs_f / jnp.maximum(jnp.max(jnp.abs(f)), 1e-30)
+        mps = mps.replace(label_site=mps.label_site * scale)
+
+    return mps
 
 
 def calibrate(mps: MPS, phi: jnp.ndarray, check: bool = False) -> MPS:

@@ -70,6 +70,12 @@ class SweepConfig(NamedTuple):
     # "canonical": isometric left factor, weight travels with the label core
     # (mixed-canonical gauge; required for large-N float32 stability).
     split_mode: str = "shared"
+    # "clip": rescale dB only when sum|dB| > sum|B| (reference,
+    #         Network_class.py:753-757).
+    # "normalized": ALWAYS rescale dB to sum|B| -- a trust-region-style
+    #         step of size lr relative to B, making the dynamics invariant
+    #         to the (exponentially shape-dependent) gradient scale.
+    update_mode: str = "clip"
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -162,10 +168,16 @@ def _sweep_right_arrays(
 
         sum_abs_dB = jnp.sum(jnp.abs(deltaB))  # recorded pre-clip (ref :742)
 
-        # L1 gradient clipping (Network_class.py:753-757)
         s_B = jnp.sum(jnp.abs(B_t))
         s_dB = sum_abs_dB
-        deltaB = deltaB * jnp.where(s_dB > s_B, s_B / s_dB, 1.0)
+        if cfg.update_mode == "normalized":
+            # trust-region step: |dB| always == |B| before the lr factor
+            deltaB = deltaB * jnp.where(
+                s_dB > 0, s_B / jnp.maximum(s_dB, 1e-30), 0.0
+            )
+        else:
+            # L1 gradient clipping (Network_class.py:753-757)
+            deltaB = deltaB * jnp.where(s_dB > s_B, s_B / s_dB, 1.0)
 
         # ascent step (loss derivatives are defined so ascent == descent)
         B_new = B_t + lr * deltaB
