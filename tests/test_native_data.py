@@ -70,3 +70,18 @@ def test_native_shuffle_and_gather():
     data = np.random.default_rng(2).random((100, 17)).astype(np.float32)
     sel = native.shuffled_indices(100, seed=4)[:32]
     np.testing.assert_array_equal(native.gather_rows(data, sel), data[sel])
+
+
+def test_profiling_harness():
+    """The per-op profiling table runs and reports sane values."""
+    from tensornetworkforml_tpu.utils.profiling import Timer, profile_model
+
+    summary = profile_model(N=10, M=4, L=2, batch=8, iters=2)
+    assert set(summary) == {"forward", "full_sweep", "env_stack", "svd_split"}
+    for v in summary.values():
+        assert v["count"] == 2 and v["total_s"] > 0
+
+    t = Timer()
+    with t.scope("x"):
+        pass
+    assert "x" in t.report()
