@@ -41,17 +41,20 @@ def _right_canonicalize_arrays(
     """
     N, M, D, _ = sites.shape
 
+    dtype = sites.dtype
+    qr_dtype = jnp.float32 if dtype == jnp.bfloat16 else dtype
+
     def step(carry_L, A):
         # absorb the L factor coming from the right: A <- A . L
         A = jnp.einsum("ldr,rk->ldk", A, carry_L)
-        mat = A.reshape(M, D * M)  # (l, d*r)
+        mat = A.reshape(M, D * M).astype(qr_dtype)  # (l, d*r)
         # LQ via QR of the transpose: mat^T = Q_t R  =>  mat = R^T Q_t^T
         Qt, R = jnp.linalg.qr(mat.T)  # Qt (D*M, M), R (M, M)
         Q = Qt.T.reshape(M, D, M)  # right-isometric site
         L = R.T
         if renormalize:
             L = L / jnp.maximum(jnp.linalg.norm(L), 1e-30)
-        return L, Q
+        return L.astype(dtype), Q.astype(dtype)
 
     # scan over sites N-1 .. 1 (reverse), starting with identity L
     L0 = jnp.eye(M, dtype=sites.dtype)

@@ -76,6 +76,12 @@ class SweepConfig(NamedTuple):
     #         step of size lr relative to B, making the dynamics invariant
     #         to the (exponentially shape-dependent) gradient scale.
     update_mode: str = "clip"
+    # MXU input precision for every contraction in the sweep:
+    # "default" (bf16 passes on TPU -- fastest), "tensorfloat32", or
+    # "float32" (3/6-pass, highest accuracy). Long chains accumulate
+    # ~1e-2 relative error at "default"; parity tests run on CPU where
+    # this knob is a no-op.
+    matmul_precision: str = "default"
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -187,12 +193,16 @@ def _sweep_right_arrays(
 
         # split back: rows (a,i), cols (o,j,c); truncate to bond dim M
         bmat = B_new.reshape(M * D, L * D * M)
+        if bmat.dtype == jnp.bfloat16:  # no bf16 SVD; split in f32
+            bmat = bmat.astype(jnp.float32)
         keep = rank if cfg.rank_mode == "reference" else None
         left_flat, right_flat = truncated_svd_split(
             bmat, M, cfg.svd_method, keep=keep, split_mode=cfg.split_mode
         )
-        A_left = left_flat.reshape(M, D, M)
-        label_new = right_flat.reshape(M, L, D, M).transpose(0, 2, 1, 3)
+        A_left = left_flat.reshape(M, D, M).astype(dtype)
+        label_new = (
+            right_flat.reshape(M, L, D, M).transpose(0, 2, 1, 3).astype(dtype)
+        )
 
         # extend the carried left environment / left transfer product with
         # the UPDATED site (reference Network_class.py:637-652, 1017-1029)
@@ -231,6 +241,21 @@ def _sweep_right_arrays(
 
 @partial(jax.jit, static_argnames=("T", "cfg", "left_dir"))
 def _sweep_jit(
+    sites, label_site, phi, y_onehot, lr, weight_dec, ranks, T, cfg, left_dir
+):
+    if cfg.matmul_precision != "default":
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _sweep_jit_body(
+                sites, label_site, phi, y_onehot, lr, weight_dec, ranks, T,
+                cfg, left_dir,
+            )
+    return _sweep_jit_body(
+        sites, label_site, phi, y_onehot, lr, weight_dec, ranks, T, cfg,
+        left_dir,
+    )
+
+
+def _sweep_jit_body(
     sites, label_site, phi, y_onehot, lr, weight_dec, ranks, T, cfg, left_dir
 ):
     if left_dir:

@@ -139,3 +139,33 @@ def test_canonical_training_learns_diagonals():
         split_mode="canonical", verbose=False,
     )
     assert max(val_acc) >= 0.97, f"val accuracy too low: {val_acc}"
+
+
+def test_bf16_storage_training_runs():
+    """bfloat16 parameter storage: contractions in bf16, SVD split in f32."""
+    mps = canonical_init(jax.random.PRNGKey(0), N=24, M=8, L=2,
+                         act_fn="linear", loss_fn="MSE",
+                         dtype=jnp.bfloat16)
+    assert mps.sites.dtype == jnp.bfloat16
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical")
+    B = 16
+    phi = psi_embed(jnp.asarray(RNG.random((B, 24)), dtype=jnp.bfloat16))
+    y = jax.nn.one_hot(jnp.asarray(RNG.integers(0, 2, B)), 2,
+                       dtype=jnp.bfloat16).T
+    mps2, f0, f_fin, _ = sweep_once(mps, phi, y, 0.05, 1e-5, cfg)
+    assert mps2.sites.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(f_fin.astype(jnp.float32)).all())
+
+
+def test_matmul_precision_knob_compiles():
+    mps = canonical_init(jax.random.PRNGKey(0), N=10, M=4, L=2,
+                         act_fn="linear", loss_fn="MSE", dtype=jnp.float32)
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical", matmul_precision="float32")
+    B = 8
+    phi = psi_embed(jnp.asarray(RNG.random((B, 10)), dtype=jnp.float32))
+    y = jax.nn.one_hot(jnp.asarray(RNG.integers(0, 2, B)), 2,
+                       dtype=jnp.float32).T
+    mps2, *_ = sweep_once(mps, phi, y, 0.05, 1e-5, cfg)
+    assert bool(jnp.isfinite(mps2.sites).all())
