@@ -1,0 +1,107 @@
+"""Production batch inference: fixed-shape compiled predictor.
+
+Serving-side counterpart of the training stack: one compiled program per
+(padded) batch shape, raw pixels in / labels out, on-device psi embedding,
+optional batch sharding over a device mesh. The reference's equivalent is
+re-running ``Network.forward`` per test batch from a pickled model
+(``test_diagonals.py:60-79``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetworkforml_tpu.models.mps import MPS, _forward_arrays, apply_act_fn
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+
+
+class Predictor:
+    """Compiled fixed-shape batch predictor for a trained MPS.
+
+    Arbitrary request sizes are served by padding up to the configured
+    ``batch_size`` (static shapes -> one compilation); larger requests are
+    chunked. With a ``mesh``, inputs are sharded over its ``data`` axis.
+    """
+
+    def __init__(
+        self,
+        mps: MPS,
+        batch_size: int = 256,
+        mesh=None,
+        activation: bool = False,
+    ):
+        self.mps = mps
+        self.batch_size = int(batch_size)
+        self.activation = activation
+        self._mesh = mesh
+        if mesh is not None:
+            from tensornetworkforml_tpu.parallel.mesh import (
+                batch_sharding,
+                replicate_params,
+            )
+
+            self.mps = replicate_params(mesh, mps)
+            self._x_sharding = batch_sharding(mesh, 0, ndim=2)
+        else:
+            self._x_sharding = None
+
+        l_pos = self.mps.l_pos
+
+        @jax.jit
+        def _scores(sites, label_site, x_raw):
+            phi = psi_embed(x_raw)
+            f = _forward_arrays(sites, label_site, phi, l_pos)
+            if activation:
+                f = apply_act_fn(f, mps.act_fn, mps.T)
+            return f
+
+        self._scores_fn = _scores
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kwargs) -> "Predictor":
+        from tensornetworkforml_tpu.utils.checkpoint import (
+            load_checkpoint,
+            mps_from_reference_pickle,
+        )
+
+        if path.endswith(".dat"):
+            mps = mps_from_reference_pickle(path, dtype=jnp.float32)
+        else:
+            mps = load_checkpoint(path, dtype=jnp.float32)
+        return cls(mps, **kwargs)
+
+    def warmup(self) -> None:
+        """Trigger compilation before serving traffic."""
+        x = np.zeros((self.batch_size, self.mps.N), dtype=np.float32)
+        jax.block_until_ready(self._chunk_scores(x))
+
+    def _chunk_scores(self, x_chunk: np.ndarray):
+        x_dev = jnp.asarray(x_chunk, dtype=self.mps.dtype)
+        if self._x_sharding is not None:
+            x_dev = jax.device_put(x_dev, self._x_sharding)
+        return self._scores_fn(self.mps.sites, self.mps.label_site, x_dev)
+
+    def scores(self, x_raw: np.ndarray) -> np.ndarray:
+        """Class scores ``(n, L)`` for raw pixels ``(n, N)`` (any n)."""
+        x_raw = np.asarray(x_raw, dtype=np.float32).reshape(len(x_raw), -1)
+        n = len(x_raw)
+        outs = []
+        for lo in range(0, n, self.batch_size):
+            chunk = x_raw[lo : lo + self.batch_size]
+            pad = self.batch_size - len(chunk)
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad, chunk.shape[1]), dtype=np.float32)]
+                )
+            f = np.asarray(self._chunk_scores(chunk)).T  # (B, L)
+            outs.append(f[: self.batch_size - pad if pad else None])
+        return np.concatenate(outs, axis=0)[:n]
+
+    def predict(self, x_raw: np.ndarray) -> np.ndarray:
+        """Predicted labels ``(n,)``."""
+        return self.scores(x_raw).argmax(axis=1)
