@@ -26,8 +26,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="Train the Tensor Network on 10-class MNIST"
     )
     p.add_argument("--data_dir", type=str, default="datasets")
+    p.add_argument("--dataset", type=str, default="mnist",
+                   choices=["mnist", "fashion", "cifar10"],
+                   help="mnist/fashion share the IDX loader (Fashion-MNIST "
+                        "ships the same file names); cifar10 reads the "
+                        "binary batches as 32x32 grayscale")
     p.add_argument("--pool", action="store_true",
-                   help="2x2 max-pool 28x28 -> 14x14 (N=196 instead of 784)")
+                   help="2x2 max-pool (28x28 -> 14x14 / 32x32 -> 16x16)")
     p.add_argument("--M", type=int, default=32, help="Bond dimension")
     p.add_argument("--n_epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=256)
@@ -62,12 +67,27 @@ def main(argv=None):
         train_model,
     )
 
-    if args.synthetic:
-        tr_x, tr_y, te_x, te_y = synthetic_mnist()
+    if args.dataset == "cifar10":
+        from tensornetworkforml_tpu.data.cifar import (
+            get_CIFAR10_grayscale,
+            synthetic_cifar10,
+        )
+
+        if args.synthetic:
+            tr_x, tr_y, te_x, te_y = synthetic_cifar10()
+        else:
+            tr_x, tr_y, te_x, te_y = get_CIFAR10_grayscale(args.data_dir)
+        scale = 1.0  # already in [0, 1]
     else:
-        tr_x, tr_y, te_x, te_y = get_MNIST_dataset(data_root_dir=args.data_dir)
+        if args.synthetic:
+            tr_x, tr_y, te_x, te_y = synthetic_mnist()
+        else:
+            tr_x, tr_y, te_x, te_y = get_MNIST_dataset(
+                data_root_dir=args.data_dir
+            )
+        scale = 255.0
     n_train = len(tr_x)
-    data = np.concatenate([tr_x, te_x]) / 255.0
+    data = np.concatenate([tr_x, te_x]) / scale
     labels = np.concatenate([tr_y, te_y])
     if args.pool:
         data = max_pool_2x2(data)

@@ -79,3 +79,39 @@ def test_synthetic_mnist_shapes_and_determinism():
     assert a1.shape == (100, 28, 28)
     assert a1.min() >= 0 and a1.max() <= 255
     assert set(np.unique(y1)) <= set(range(10))
+
+
+def test_cifar_batch_roundtrip(tmp_path):
+    """CIFAR-10 binary batch parsing + grayscale conversion."""
+    import os
+
+    from tensornetworkforml_tpu.data.cifar import (
+        get_CIFAR10_grayscale,
+        rgb_to_gray,
+        synthetic_cifar10,
+    )
+
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path / "cifar-10-batches-bin")
+    records = {}
+    for name, n in [(f"data_batch_{i}.bin", 6) for i in range(1, 6)] + [
+        ("test_batch.bin", 4)
+    ]:
+        labels = rng.integers(0, 10, n, dtype=np.uint8)
+        imgs = rng.integers(0, 256, (n, 3072), dtype=np.uint8)
+        raw = np.concatenate([labels[:, None], imgs], axis=1)
+        (tmp_path / "cifar-10-batches-bin" / name).write_bytes(raw.tobytes())
+        records[name] = (imgs, labels)
+
+    tr_x, tr_y, te_x, te_y = get_CIFAR10_grayscale(str(tmp_path))
+    assert tr_x.shape == (30, 32, 32) and te_x.shape == (4, 32, 32)
+    assert tr_x.min() >= 0 and tr_x.max() <= 1.0
+    imgs, labels = records["test_batch.bin"]
+    np.testing.assert_array_equal(te_y, labels)
+    want = rgb_to_gray(
+        imgs.reshape(-1, 3, 32, 32).astype(np.float64)
+    ) / 255.0
+    np.testing.assert_allclose(te_x, want, rtol=1e-12)
+
+    a, y1, b, y2 = synthetic_cifar10(50, 10)
+    assert a.shape == (50, 32, 32) and a.max() <= 1.0
