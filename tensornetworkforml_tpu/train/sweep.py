@@ -94,6 +94,121 @@ def _mirror_label(label_site: jnp.ndarray) -> jnp.ndarray:
     return label_site.transpose(3, 1, 2, 0)
 
 
+def two_site_update(
+    label_site: jnp.ndarray,
+    A2: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    l_env: jnp.ndarray,
+    r_env: jnp.ndarray,
+    E2: jnp.ndarray,
+    r2_step: jnp.ndarray,
+    y_onehot: jnp.ndarray,
+    f: jnp.ndarray,
+    lr,
+    weight_dec,
+    rank,
+    T: float,
+    cfg: SweepConfig,
+):
+    """ONE two-site DMRG update (the reference's ``sweep_step`` +
+    ``update_B`` + ``tensor_svd``, ``Network_class.py:440-763``), as a pure
+    function over explicit environments.
+
+    Inputs (right-sweep orientation; the mirrored chain handles left
+    sweeps): the label-carrying site ``(M,D,L,M)``, its right neighbour
+    ``A2 (M,D,M)``, the two site inputs ``x1/x2 (B,D)``, carried left
+    environment ``l_env (B,M)`` and left L2 transfer product ``E2 (M,M)``,
+    STALE right environment ``r_env (B,M)`` and right transfer product
+    ``r2_step (M,M)``, one-hot targets ``(L,B)`` and the previous step's
+    network output ``f (L,B)``.
+
+    Returns ``(A_left, new_label_site, new_l_env, new_E2, f_new, metrics)``.
+    This is the scan body of ``sweep_once``; it is exposed for step-level
+    experimentation and custom schedules.
+    """
+    M, D, L, _ = label_site.shape
+    dtype = label_site.dtype
+
+    # merge the active pair: B[a,i,o,j,c] (left,d1,label,d2,right)
+    B_t = jnp.einsum("aiok,kjc->aiojc", label_site, A2)
+
+    # metrics on the CURRENT output (pre-update), as the reference does
+    f_act = apply_act_fn(f, cfg.act_fn, T)
+    y_pred = jnp.argmax(f_act, axis=0)
+    y_true = jnp.argmax(y_onehot, axis=0)
+    acc = jnp.mean((y_pred == y_true).astype(dtype))
+    mae = jnp.mean(jnp.abs(y_onehot - f_act))
+
+    # analytic gradient: dB[a,i,o,j,c] = sum_b loss_der[o,b] *
+    #   l_env[b,a] x1[b,i] x2[b,j] r_env[b,c]
+    loss_der = loss_derivative(f_act, y_onehot, cfg.loss_fn, cfg.act_fn, T)
+    left_part = jnp.einsum("ba,bi->bai", l_env, x1)  # (B,M,D)
+    right_part = jnp.einsum("bj,bc->bjc", x2, r_env)  # (B,D,M)
+    u_t = jnp.einsum("ob,bai->boai", loss_der, left_part)
+    deltaB = jnp.einsum("boai,bjc->aiojc", u_t, right_part)
+
+    # regularisation (exact L2 of the whole MPS, or plain decay)
+    if cfg.L2_flag:
+        deriv = jnp.einsum("aA,AiojC,Cc->aiojc", E2, B_t, r2_step)
+        l2_loss = weight_dec * jnp.sum(B_t * deriv)
+        l2_grad = 2.0 * weight_dec * deriv
+    else:
+        l2_loss = jnp.zeros((), dtype=dtype)
+        l2_grad = weight_dec * B_t
+    deltaB = deltaB - l2_grad
+
+    sum_abs_dB = jnp.sum(jnp.abs(deltaB))  # recorded pre-clip (ref :742)
+
+    s_B = jnp.sum(jnp.abs(B_t))
+    s_dB = sum_abs_dB
+    if cfg.update_mode == "normalized":
+        # trust-region step: |dB| always == |B| before the lr factor
+        deltaB = deltaB * jnp.where(
+            s_dB > 0, s_B / jnp.maximum(s_dB, 1e-30), 0.0
+        )
+    else:
+        # L1 gradient clipping (Network_class.py:753-757)
+        deltaB = deltaB * jnp.where(s_dB > s_B, s_B / s_dB, 1.0)
+
+    # ascent step (loss derivatives are defined so ascent == descent)
+    B_new = B_t + lr * deltaB
+
+    # recompute the network output with the updated B (stale right env)
+    f_new = jnp.einsum("bai,aiojc,bjc->ob", left_part, B_new, right_part)
+
+    # split back: rows (a,i), cols (o,j,c); truncate to bond dim M
+    bmat = B_new.reshape(M * D, L * D * M)
+    if bmat.dtype == jnp.bfloat16:  # no bf16 SVD; split in f32
+        bmat = bmat.astype(jnp.float32)
+    keep = rank if cfg.rank_mode == "reference" else None
+    left_flat, right_flat = truncated_svd_split(
+        bmat, M, cfg.svd_method, keep=keep, split_mode=cfg.split_mode
+    )
+    A_left = left_flat.reshape(M, D, M).astype(dtype)
+    label_new = (
+        right_flat.reshape(M, L, D, M).transpose(0, 2, 1, 3).astype(dtype)
+    )
+
+    # extend the carried left environment / left transfer product with
+    # the UPDATED site (reference Network_class.py:637-652, 1017-1029)
+    l_env_new = jnp.einsum("bai,aim->bm", left_part, A_left)
+    E2_new = transfer_append(E2, A_left) if cfg.L2_flag else E2
+
+    # |.| totals are recorded as SUMS; sweep_once divides by the ragged
+    # element count so means match the reference's ragged tensors.
+    metrics = {
+        "accuracy": acc,
+        "MAE": mae,
+        "sum_abs_B": s_B,
+        "sum_abs_deltaB": sum_abs_dB,
+        "mean_abs_f": jnp.mean(jnp.abs(f)),
+        "L2_loss": l2_loss,
+        "sum_abs_L2_grad": jnp.sum(jnp.abs(l2_grad)),
+    }
+    return A_left, label_new, l_env_new, E2_new, f_new, metrics
+
+
 def _sweep_right_arrays(
     sites: jnp.ndarray,
     label_site: jnp.ndarray,
@@ -143,83 +258,10 @@ def _sweep_right_arrays(
     def step(carry, x):
         label, l_env, E2, f = carry
         x1, x2, A2, r_env, r2_step, rank = x
-
-        # merge the active pair: B[a,i,o,j,c] (left,d1,label,d2,right)
-        B_t = jnp.einsum("aiok,kjc->aiojc", label, A2)
-
-        # metrics on the CURRENT output (pre-update), as the reference does
-        f_act = apply_act_fn(f, cfg.act_fn, T)
-        y_pred = jnp.argmax(f_act, axis=0)
-        y_true = jnp.argmax(y_onehot, axis=0)
-        acc = jnp.mean((y_pred == y_true).astype(dtype))
-        mae = jnp.mean(jnp.abs(y_onehot - f_act))
-
-        # analytic gradient: dB[a,i,o,j,c] = sum_b loss_der[o,b] *
-        #   l_env[b,a] x1[b,i] x2[b,j] r_env[b,c]
-        loss_der = loss_derivative(f_act, y_onehot, cfg.loss_fn, cfg.act_fn, T)
-        left_part = jnp.einsum("ba,bi->bai", l_env, x1)  # (B,M,D)
-        right_part = jnp.einsum("bj,bc->bjc", x2, r_env)  # (B,D,M)
-        u_t = jnp.einsum("ob,bai->boai", loss_der, left_part)
-        deltaB = jnp.einsum("boai,bjc->aiojc", u_t, right_part)
-
-        # regularisation (exact L2 of the whole MPS, or plain decay)
-        if cfg.L2_flag:
-            deriv = jnp.einsum("aA,AiojC,Cc->aiojc", E2, B_t, r2_step)
-            l2_loss = weight_dec * jnp.sum(B_t * deriv)
-            l2_grad = 2.0 * weight_dec * deriv
-        else:
-            l2_loss = jnp.zeros((), dtype=dtype)
-            l2_grad = weight_dec * B_t
-        deltaB = deltaB - l2_grad
-
-        sum_abs_dB = jnp.sum(jnp.abs(deltaB))  # recorded pre-clip (ref :742)
-
-        s_B = jnp.sum(jnp.abs(B_t))
-        s_dB = sum_abs_dB
-        if cfg.update_mode == "normalized":
-            # trust-region step: |dB| always == |B| before the lr factor
-            deltaB = deltaB * jnp.where(
-                s_dB > 0, s_B / jnp.maximum(s_dB, 1e-30), 0.0
-            )
-        else:
-            # L1 gradient clipping (Network_class.py:753-757)
-            deltaB = deltaB * jnp.where(s_dB > s_B, s_B / s_dB, 1.0)
-
-        # ascent step (loss derivatives are defined so ascent == descent)
-        B_new = B_t + lr * deltaB
-
-        # recompute the network output with the updated B (stale right env)
-        f_new = jnp.einsum("bai,aiojc,bjc->ob", left_part, B_new, right_part)
-
-        # split back: rows (a,i), cols (o,j,c); truncate to bond dim M
-        bmat = B_new.reshape(M * D, L * D * M)
-        if bmat.dtype == jnp.bfloat16:  # no bf16 SVD; split in f32
-            bmat = bmat.astype(jnp.float32)
-        keep = rank if cfg.rank_mode == "reference" else None
-        left_flat, right_flat = truncated_svd_split(
-            bmat, M, cfg.svd_method, keep=keep, split_mode=cfg.split_mode
+        A_left, label_new, l_env_new, E2_new, f_new, metrics = two_site_update(
+            label, A2, x1, x2, l_env, r_env, E2, r2_step, y_onehot, f,
+            lr, weight_dec, rank, T, cfg,
         )
-        A_left = left_flat.reshape(M, D, M).astype(dtype)
-        label_new = (
-            right_flat.reshape(M, L, D, M).transpose(0, 2, 1, 3).astype(dtype)
-        )
-
-        # extend the carried left environment / left transfer product with
-        # the UPDATED site (reference Network_class.py:637-652, 1017-1029)
-        l_env_new = jnp.einsum("bai,aim->bm", left_part, A_left)
-        E2_new = transfer_append(E2, A_left) if cfg.L2_flag else E2
-
-        # |.| totals are recorded as SUMS; sweep_once divides by the ragged
-        # element count so means match the reference's ragged tensors.
-        metrics = {
-            "accuracy": acc,
-            "MAE": mae,
-            "sum_abs_B": s_B,
-            "sum_abs_deltaB": sum_abs_dB,
-            "mean_abs_f": jnp.mean(jnp.abs(f)),
-            "L2_loss": l2_loss,
-            "sum_abs_L2_grad": jnp.sum(jnp.abs(l2_grad)),
-        }
         return (label_new, l_env_new, E2_new, f_new), (A_left, metrics)
 
     init = (
