@@ -15,6 +15,7 @@ default, 7 in debug mode.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 import jax.numpy as jnp
@@ -82,13 +83,31 @@ def train_model(
     split_mode: str = "shared",
     verbose: bool = True,
     epoch_callback: Optional[Callable] = None,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
 ):
     """Train an MPS; returns ``(mps, val_acc, var_hist)``.
 
     ``val_acc`` is a list of per-epoch validation accuracies and
     ``var_hist`` a ``(n_epochs, n_series, n_steps)`` array, both matching
     the reference ``Network.train`` return contract.
+
+    ``lr`` may be a float or a callable ``epoch -> float`` (schedules).
+
+    With ``checkpoint_path``, the model + epoch counter are saved after
+    every epoch, and ``resume=True`` continues an interrupted run from the
+    last saved epoch -- the mid-training checkpoint/resume the reference
+    lacks (it only pickles the final model, ``training_diagonals.py:69``).
     """
+    start_epoch = 0
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        from tensornetworkforml_tpu.utils.checkpoint import (
+            load_training_state,
+        )
+
+        mps, start_epoch = load_training_state(checkpoint_path, mps)
+        if verbose and start_epoch:
+            print(f"resuming from epoch {start_epoch}")
     cfg = SweepConfig(
         act_fn=mps.act_fn,
         loss_fn=mps.loss_fn,
@@ -100,8 +119,10 @@ def train_model(
     series = _DEBUG_SERIES if debug else _PLAIN_SERIES
     val_acc: list[float] = []
     var_hist: list[list[np.ndarray]] = []
+    lr_fn = lr if callable(lr) else (lambda _epoch: lr)
 
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
+        epoch_lr = float(lr_fn(epoch))
         epoch_series: dict[str, list[np.ndarray]] = {k: [] for k in series}
         train_accs = []
 
@@ -113,7 +134,7 @@ def train_model(
             y_onehot = y_onehot.at[y, jnp.arange(y.shape[0])].set(1.0)
 
             mps, f0, _, metrics = sweep_once(
-                mps, phi, y_onehot, lr, weight_dec, cfg
+                mps, phi, y_onehot, epoch_lr, weight_dec, cfg
             )
             batch_acc = float(accuracy_from_scores(f0, y))
             train_accs.append(batch_acc)
@@ -141,6 +162,12 @@ def train_model(
                 f"\rEpoch {epoch}/{n_epochs} - train accuracy : "
                 f"{np.mean(train_accs):.4f} - val accuracy: {epoch_val:.4f}"
             )
+        if checkpoint_path:
+            from tensornetworkforml_tpu.utils.checkpoint import (
+                save_training_state,
+            )
+
+            save_training_state(checkpoint_path, mps, epoch + 1)
         if epoch_callback is not None:
             epoch_callback(epoch, mps, epoch_val)
 

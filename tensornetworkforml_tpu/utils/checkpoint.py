@@ -13,8 +13,8 @@ The reference checkpoints whole ``Network`` objects with ``pickle``
 
 from __future__ import annotations
 
-import io
 import json
+import os
 import pickle
 from typing import Any
 
@@ -60,6 +60,53 @@ def load_checkpoint(path: str, dtype=None) -> MPS:
         loss_fn=meta["loss_fn"],
         T=meta["T"],
     )
+
+
+def save_training_state(path: str, mps: MPS, epoch: int) -> None:
+    """Atomic mid-training checkpoint: model + epoch counter.
+
+    Written after every epoch by ``train_model(checkpoint_path=...)``; the
+    temp-file + rename makes a crash during the write recoverable (the
+    previous epoch's state survives).
+    """
+    meta = {
+        "version": _CKPT_VERSION,
+        "l_pos": int(mps.l_pos),
+        "act_fn": mps.act_fn,
+        "loss_fn": mps.loss_fn,
+        "T": float(mps.T),
+        "epoch": int(epoch),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(
+            fh,
+            sites=np.asarray(mps.sites),
+            label_site=np.asarray(mps.label_site),
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
+    os.replace(tmp, path)
+
+
+def load_training_state(path: str, template: MPS = None):
+    """Load a mid-training checkpoint; returns ``(mps, next_epoch)``."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+        sites = data["sites"]
+        label_site = data["label_site"]
+    dtype = None if template is None else template.dtype
+    if dtype is not None:
+        sites = sites.astype(dtype)
+        label_site = label_site.astype(dtype)
+    mps = MPS(
+        sites=jnp.asarray(sites),
+        label_site=jnp.asarray(label_site),
+        l_pos=meta["l_pos"],
+        act_fn=meta["act_fn"],
+        loss_fn=meta["loss_fn"],
+        T=meta["T"],
+    )
+    return mps, int(meta.get("epoch", 0))
 
 
 class _RefUnpickler(pickle.Unpickler):
