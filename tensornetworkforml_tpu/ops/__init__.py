@@ -4,8 +4,14 @@ from tensornetworkforml_tpu.ops.contractions import (
     boundary_vector,
     left_env_stack,
     right_env_stack,
+    left_env_stack_fused,
+    right_env_stack_fused,
+    left_env_stack_parallel,
+    right_env_stack_parallel,
     left_env_final,
     right_env_final,
+    left_env_final_fused,
+    right_env_final_fused,
     chain_scores,
     transfer_suffix_stack,
     transfer_append,
