@@ -11,11 +11,12 @@ static under ``jit``/``scan``.
 Backends:
   * ``"svd"``  -- ``jnp.linalg.svd`` (CPU-accurate; what tests use in x64).
   * ``"gram"`` -- eigendecomposition of the smaller Gram matrix ``B B^T``.
-    On TPU ``eigh`` of the (M*D x M*D) symmetric matrix is much faster than
-    the general SVD lowering and the MXU does the two projections
-    (``U^T B``); it squares the condition number, which is acceptable here
-    because sqrt(S) is split onto both factors and the spectrum is truncated
-    to the leading M values anyway.
+    ~2x faster than the SVD lowering inside the sweep scan on TPU, but it
+    squares the condition number, and on TPU the eigh's internal matmuls
+    run at bf16 precision: measured training DIVERGES in float32 canonical
+    mode even with a Newton-Schulz re-orthonormalisation of U (the top
+    eigenvectors themselves carry ~1e-2 error). Use on CPU/float64 or for
+    experimentation; ``"svd"`` is the correct TPU default.
 """
 
 from __future__ import annotations
@@ -93,9 +94,16 @@ def _gram_split(
         evals = jnp.where(jnp.arange(rank) < keep, evals, 0.0)
     S = jnp.sqrt(jnp.maximum(evals, 0.0))
     if split_mode == "canonical":
-        # S V^h = U^T B exactly (no scaling needed)
-        mask = (S > 0).astype(bmat.dtype)
-        return U, (U.T @ bmat) * mask[:, None]
+        # eigh of the squared spectrum loses orthogonality of the small-
+        # eigenvalue columns in float32; two Newton-Schulz iterations
+        # (matmuls only, MXU-friendly) restore an isometric U, and the
+        # right factor is the exact projection U^T B.
+        for _ in range(2):
+            U = 1.5 * U - 0.5 * U @ (U.T @ U)
+        svh = U.T @ bmat
+        if keep is not None:
+            svh = svh * (S > 0).astype(bmat.dtype)[:, None]
+        return U, svh
     sqrt_s = jnp.sqrt(S)
     # sqrt(S) V^h = sqrt(S) S^{-1} U^T B ; guard zero singular values
     inv = jnp.where(S > 0, 1.0 / jnp.maximum(S, 1e-30), 0.0)

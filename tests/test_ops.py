@@ -169,3 +169,24 @@ def test_svd_split_preserves_zero_rows_and_cols():
     a, b = truncated_svd_split(jnp.asarray(bmat), 6, method="svd")
     np.testing.assert_allclose(np.asarray(a)[5:], 0.0, atol=1e-12)
     np.testing.assert_allclose(np.asarray(b)[:, 9:], 0.0, atol=1e-12)
+
+
+def test_gram_canonical_split_is_isometric_f32():
+    """float32 gram split must emit an isometric left factor (the Newton-
+    Schulz polish compensates eigh's squared-spectrum orthogonality loss)."""
+    rng = np.random.default_rng(7)
+    # ill-conditioned matrix: spectrum spanning ~1e4
+    U0, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    V0, _ = np.linalg.qr(rng.standard_normal((640, 640)))
+    S0 = np.logspace(0, -4, 64)
+    bmat = jnp.asarray(
+        U0 @ np.diag(S0) @ V0[:64, :], dtype=jnp.float32
+    )  # (64, 640) wide
+    U, SVh = truncated_svd_split(bmat, 32, method="gram",
+                                 split_mode="canonical")
+    gram_err = np.abs(np.asarray(U.T @ U) - np.eye(32)).max()
+    assert gram_err < 1e-3, f"left factor not isometric: {gram_err}"
+    # the projection reconstructs the dominant part of B
+    rec = np.asarray(U @ SVh)
+    top = U0[:, :32] @ np.diag(S0[:32]) @ V0[:32, :]
+    assert np.abs(rec - top).max() < 1e-2
