@@ -77,7 +77,22 @@ def _gram_split(
 
     Only implemented for I <= J with the left factor from the Gram side
     (always the case for the two-site tensor, rows (M*D) <= cols (L*D*M)).
+
+    The whole split is traced under full float32 matmul precision: on TPU
+    the default bf16 MXU passes corrupt the eigh's eigenvectors enough to
+    diverge canonical-mode training (squared condition number); forcing
+    precision only here keeps the rest of the sweep at fast default
+    precision.
     """
+    import jax
+
+    with jax.default_matmul_precision("float32"):
+        return _gram_split_impl(bmat, rank, keep, split_mode)
+
+
+def _gram_split_impl(
+    bmat: jnp.ndarray, rank: int, keep=None, split_mode: str = "shared"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     I, J = bmat.shape
     if I > J:
         # tall case: recurse on the transpose (swaps the factors). The
