@@ -12,11 +12,11 @@ Backends:
   * ``"svd"``  -- ``jnp.linalg.svd`` (CPU-accurate; what tests use in x64).
   * ``"gram"`` -- eigendecomposition of the smaller Gram matrix ``B B^T``.
     ~2x faster than the SVD lowering inside the sweep scan on TPU, but it
-    squares the condition number, and on TPU the eigh's internal matmuls
-    run at bf16 precision: measured training DIVERGES in float32 canonical
-    mode even with a Newton-Schulz re-orthonormalisation of U (the top
-    eigenvectors themselves carry ~1e-2 error). Use on CPU/float64 or for
-    experimentation; ``"svd"`` is the correct TPU default.
+    squares the condition number and TPU's float32 eigh is not accurate
+    enough for the squared spectrum: canonical-mode training DIVERGES
+    (forcing full matmul precision and Newton-Schulz re-orthonormalisation
+    do not rescue it), while the identical code trains to 100% on CPU
+    float32. Use on CPU/float64; ``"svd"`` is the correct TPU default.
 """
 
 from __future__ import annotations
