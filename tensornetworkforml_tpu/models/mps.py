@@ -381,7 +381,7 @@ def ragged_site_list(mps: MPS) -> list:
         else:
             A = sites[n]  # (left, d, right)
             if n == 0:
-                out.append(A[0].T[None])  # degenerate; unused in practice
+                out.append(A[0].T)  # (right, d)
             elif n == mps.N - 1:
                 out.append(A[:, :, 0])  # (left, d)
             else:

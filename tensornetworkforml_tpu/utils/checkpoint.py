@@ -138,6 +138,70 @@ def load_reference_pickle(path: str) -> Any:
         return _RefUnpickler(fh).load()
 
 
+class _RefTensorOut:
+    """Stub pickled BY REFERENCE as ``Tensor_class.Tensor``."""
+
+
+class _RefNetworkOut:
+    """Stub pickled BY REFERENCE as ``Network_class.Network``."""
+
+
+_RefTensorOut.__module__ = "Tensor_class"
+_RefTensorOut.__qualname__ = "Tensor"
+_RefNetworkOut.__module__ = "Network_class"
+_RefNetworkOut.__qualname__ = "Network"
+
+
+def save_reference_pickle(mps: MPS, path: str) -> None:
+    """Export an MPS as a pickle LOADABLE BY THE REFERENCE CODE.
+
+    Writes a ``Network_class.Network`` object graph (class resolved by name
+    at load time in an environment where the reference modules are
+    importable) with the reference's attribute surface: N/D/L/M/T, act/loss
+    names, ``l_pos``, and the per-site ``Tensor``s with ``elem`` arrays and
+    ``axes_names``. Bonds are exported at the padded width M (the reference
+    ``forward`` handles any consistent bond dims), so round-tripping through
+    the reference reproduces this model's outputs exactly.
+    """
+    from tensornetworkforml_tpu.models.mps import ragged_site_list
+
+    elems = ragged_site_list(mps)
+    As = []
+    for n, elem in enumerate(elems):
+        if n == mps.l_pos:
+            if n == 0:
+                names = ["l", "right", f"d{n}"]
+            elif n == mps.N - 1:
+                names = ["left", "l", f"d{n}"]
+            else:
+                names = ["left", "right", "l", f"d{n}"]
+        else:
+            if n == 0:
+                names = ["right", f"d{n}"]
+            elif n == mps.N - 1:
+                names = ["left", f"d{n}"]
+            else:
+                names = ["left", "right", f"d{n}"]
+        t = _RefTensorOut.__new__(_RefTensorOut)
+        t.elem = np.ascontiguousarray(elem, dtype=np.float64)
+        t.axes_names = np.array(names)
+        t.history_axes_names = [np.array(names)]
+        t.aggregations = {}
+        t.shape = t.elem.shape
+        t.rank = t.elem.ndim
+        As.append(t)
+
+    net = _RefNetworkOut.__new__(_RefNetworkOut)
+    net.N, net.D, net.L, net.M = mps.N, mps.D, mps.L, mps.M
+    net.T = float(mps.T)
+    net.act_fn = mps.act_fn
+    net.loss_fn = mps.loss_fn
+    net.l_pos = int(mps.l_pos)
+    net.As = As
+    with open(path, "wb") as fh:
+        pickle.dump(net, fh)
+
+
 def mps_from_reference_pickle(path: str, dtype=jnp.float64) -> MPS:
     """Convert a reference checkpoint into the padded-uniform MPS."""
     return mps_from_reference_net(load_reference_pickle(path), dtype=dtype)

@@ -190,3 +190,33 @@ def test_gram_canonical_split_is_isometric_f32():
     rec = np.asarray(U @ SVh)
     top = U0[:, :32] @ np.diag(S0[:32]) @ V0[:32, :]
     assert np.abs(rec - top).max() < 1e-2
+
+
+@pytest.mark.parametrize("split_mode", ["shared", "canonical"])
+def test_cholsvd_split_matches_svd_f32(split_mode):
+    """The Cholesky-factor SVD split (TPU fast path) must agree with the
+    reference SVD split in float32, with an orthonormal-by-construction
+    left factor in canonical mode."""
+    rng = np.random.default_rng(9)
+    U0, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    V0, _ = np.linalg.qr(rng.standard_normal((640, 640)))
+    S0 = np.logspace(0, -4, 64)
+    bmat = jnp.asarray(U0 @ np.diag(S0) @ V0[:64, :], dtype=jnp.float32)
+    a, b = truncated_svd_split(bmat, 32, method="cholsvd",
+                               split_mode=split_mode)
+    a2, b2 = truncated_svd_split(bmat, 32, method="svd",
+                                 split_mode=split_mode)
+    np.testing.assert_allclose(
+        np.asarray(a @ b), np.asarray(a2 @ b2), atol=5e-6
+    )
+    if split_mode == "canonical":
+        np.testing.assert_allclose(
+            np.asarray(a.T @ a), np.eye(32), atol=5e-6
+        )
+
+    # rank-deficient padded case survives via the jitter
+    z = np.zeros((8, 24), dtype=np.float32)
+    z[:5, :20] = rng.standard_normal((5, 20))
+    a, b = truncated_svd_split(jnp.asarray(z), 6, method="cholsvd",
+                               split_mode=split_mode)
+    np.testing.assert_allclose(np.asarray(a @ b), z, atol=1e-5)
