@@ -60,14 +60,58 @@ def _as_phi(x: np.ndarray, dtype) -> jnp.ndarray:
     return x
 
 
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("l_pos",))
+def _eval_scan(sites, label_site, x_epoch, y_epoch, l_pos):
+    """All validation batches in ONE program (one dispatch per eval pass)."""
+    from tensornetworkforml_tpu.models.mps import _forward_arrays
+
+    def body(_, xy):
+        x, y = xy
+        phi = psi_embed(x.astype(sites.dtype))
+        scores = _forward_arrays(sites, label_site, phi, l_pos)
+        acc = jnp.mean((jnp.argmax(scores, axis=0) == y).astype(sites.dtype))
+        return None, acc
+
+    _, accs = _jax.lax.scan(body, None, (x_epoch, y_epoch))
+    return jnp.mean(accs)
+
+
 def evaluate_accuracy(mps: MPS, loader) -> float:
-    """Mean batch accuracy over a loader (reference validation loop)."""
+    """Mean batch accuracy over a loader (reference validation loop).
+
+    Uniform raw-pixel batches are evaluated in a single fused scan (one
+    device dispatch); otherwise falls back to per-batch forwards.
+    """
+    batches = list(_loader_batches(loader))
+    if not batches:
+        return float("nan")
+    xs = [np.asarray(x) for x, _ in batches]
+    ys = [np.asarray(y) for _, y in batches]
+    uniform = (
+        all(x.ndim == 2 for x in xs)
+        and len({x.shape for x in xs}) == 1
+        and len({y.shape for y in ys}) == 1
+    )
+    if uniform:
+        acc = _eval_scan(
+            mps.sites,
+            mps.label_site,
+            jnp.asarray(np.stack(xs)),
+            jnp.asarray(np.stack(ys)),
+            mps.l_pos,
+        )
+        return float(acc)
     accs = []
-    for x, y in _loader_batches(loader):
+    for x, y in batches:
         phi = _as_phi(x, mps.dtype)
         scores = mps_forward(mps, phi)
         accs.append(float(accuracy_from_scores(scores, jnp.asarray(y))))
-    return float(np.mean(accs)) if accs else float("nan")
+    return float(np.mean(accs))
 
 
 def train_model(
