@@ -165,6 +165,28 @@ def save_reference_pickle(mps: MPS, path: str) -> None:
     """
     from tensornetworkforml_tpu.models.mps import ragged_site_list
 
+    # Resolve the classes to pickle-by-name: the real reference classes when
+    # its modules are importable (pickle requires identity with the module
+    # attribute), otherwise inject stub modules so the names resolve.
+    import sys
+    import types
+
+    try:
+        import Network_class as _nc  # type: ignore
+        import Tensor_class as _tc  # type: ignore
+
+        net_cls, tensor_cls = _nc.Network, _tc.Tensor
+    except ImportError:
+        for mod_name, cls in (
+            ("Tensor_class", _RefTensorOut),
+            ("Network_class", _RefNetworkOut),
+        ):
+            if mod_name not in sys.modules:
+                mod = types.ModuleType(mod_name)
+                setattr(mod, cls.__qualname__, cls)
+                sys.modules[mod_name] = mod
+        net_cls, tensor_cls = _RefNetworkOut, _RefTensorOut
+
     elems = ragged_site_list(mps)
     As = []
     for n, elem in enumerate(elems):
@@ -182,7 +204,7 @@ def save_reference_pickle(mps: MPS, path: str) -> None:
                 names = ["left", f"d{n}"]
             else:
                 names = ["left", "right", f"d{n}"]
-        t = _RefTensorOut.__new__(_RefTensorOut)
+        t = tensor_cls.__new__(tensor_cls)
         t.elem = np.ascontiguousarray(elem, dtype=np.float64)
         t.axes_names = np.array(names)
         t.history_axes_names = [np.array(names)]
@@ -191,7 +213,7 @@ def save_reference_pickle(mps: MPS, path: str) -> None:
         t.rank = t.elem.ndim
         As.append(t)
 
-    net = _RefNetworkOut.__new__(_RefNetworkOut)
+    net = net_cls.__new__(net_cls)
     net.N, net.D, net.L, net.M = mps.N, mps.D, mps.L, mps.M
     net.T = float(mps.T)
     net.act_fn = mps.act_fn

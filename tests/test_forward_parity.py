@@ -97,3 +97,51 @@ def test_checkpoint_accuracy_on_diagonals(reference_modules):
     scores = mps_forward(mps, phi)
     acc = float(accuracy_from_scores(scores, jnp.asarray(labels)))
     assert acc > 0.95, f"checkpoint accuracy {acc} too low"
+
+
+def test_export_to_reference_pickle_roundtrip(reference_modules, tmp_path):
+    """Models exported with save_reference_pickle must load in the
+    REFERENCE code and produce identical forward outputs there."""
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensornetworkforml_tpu.models.mps import mps_init
+    from tensornetworkforml_tpu.utils.checkpoint import save_reference_pickle
+
+    for l_end in (0, 15):
+        mps = mps_init(jax.random.PRNGKey(7), N=16, M=5, L=3,
+                       normalize=True, act_fn="softmax",
+                       loss_fn="cross_entropy", dtype=jnp.float64)
+        if l_end != 0:
+            from tensornetworkforml_tpu.train.sweep import (
+                SweepConfig,
+                sweep_once,
+            )
+
+            phi_s = psi_embed(jnp.asarray(RNG.random((4, 16))))
+            y1h = jnp.zeros((3, 4), dtype=jnp.float64).at[0].set(1.0)
+            mps, *_ = sweep_once(
+                mps, phi_s, y1h, 0.001, 0.0,
+                SweepConfig(act_fn="softmax", loss_fn="cross_entropy"),
+            )
+            assert mps.l_pos == 15
+
+        path = str(tmp_path / f"export_{l_end}.dat")
+        save_reference_pickle(mps, path)
+
+        with open(path, "rb") as fh:
+            ref_net = pickle.load(fh)  # resolves Network_class.Network
+        assert type(ref_net).__module__ == "Network_class"
+
+        phi = np.asarray(psi_embed(RNG.random((6, 16))))
+        f_ref = ref_net.forward(phi.copy())
+        f_ours = mps_forward(mps, jnp.asarray(phi))
+        np.testing.assert_allclose(
+            np.asarray(f_ours), f_ref.elem, rtol=1e-9, atol=1e-11,
+            err_msg=f"l_pos={l_end}",
+        )
+        # and the reference's own evaluation machinery runs on it
+        acc = ref_net.accuracy(phi.copy(), np.zeros(6, dtype=int))
+        assert 0.0 <= acc <= 1.0
