@@ -36,7 +36,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--M", type=int, default=32, help="Bond dimension")
     p.add_argument("--n_epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=256)
-    p.add_argument("--lr", type=float, default=0.2)
+    p.add_argument("--lr", type=float, default=None,
+                   help="default 0.2 (0.03 for chains longer than 400 "
+                        "sites, where per-sweep step counts demand it)")
     p.add_argument("--weight_dec", type=float, default=1e-5)
     p.add_argument("--act_fn", type=str, default="linear")
     p.add_argument("--loss_fn", type=str, default="MSE")
@@ -100,6 +102,11 @@ def main(argv=None):
         test_batch_size=256, embed=False, seed=args.seed,
     )
 
+    # long chains need the norm-transfer gauge (the label core otherwise
+    # overflows float32 along a canonical sweep) and a smaller step size
+    long_chain = N > 400
+    lr = args.lr if args.lr is not None else (0.03 if long_chain else 0.2)
+
     x_cal, _ = next(train_loader.batches())
     mps = product_init(
         jax.random.PRNGKey(args.seed), N=N, M=args.M, L=10,
@@ -113,14 +120,15 @@ def main(argv=None):
 
         mesh = make_mesh()
         trainer = ShardedTrainer(
-            mesh, mps, lr=args.lr, weight_dec=args.weight_dec, L2_flag=False,
+            mesh, mps, lr=lr, weight_dec=args.weight_dec, L2_flag=False,
         )
         # override split gauge for the sharded path
         from tensornetworkforml_tpu.train.sweep import SweepConfig
         from tensornetworkforml_tpu.parallel.dp import make_sharded_train_step
 
         cfg = SweepConfig(act_fn=args.act_fn, loss_fn=args.loss_fn,
-                          L2_flag=False, split_mode="canonical")
+                          L2_flag=False, split_mode="canonical",
+                          renorm_envs=long_chain)
         trainer.cfg = cfg
         trainer._steps = {
             left: make_sharded_train_step(mesh, cfg, mps.T, 10, left)
@@ -136,9 +144,9 @@ def main(argv=None):
         var_hist = None
     else:
         mps, val_acc, var_hist = train_model(
-            mps, train_loader, val_loader, lr=args.lr,
+            mps, train_loader, val_loader, lr=lr,
             n_epochs=args.n_epochs, weight_dec=args.weight_dec,
-            L2_flag=False, split_mode="canonical",
+            L2_flag=False, split_mode="canonical", renorm_envs=long_chain,
         )
 
     test_acc = evaluate_accuracy(mps, test_loader)

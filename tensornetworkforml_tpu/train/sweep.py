@@ -82,6 +82,10 @@ class SweepConfig(NamedTuple):
     # ~1e-2 relative error at "default"; parity tests run on CPU where
     # this knob is a no-op.
     matmul_precision: str = "default"
+    # per-step norm transfer into the label core (keeps carried environments
+    # at unit mean norm -- required for canonical-split sweeps on chains
+    # past N ~ 500 in float32, where the core otherwise overflows)
+    renorm_envs: bool = False
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -193,6 +197,21 @@ def two_site_update(
     # extend the carried left environment / left transfer product with
     # the UPDATED site (reference Network_class.py:637-652, 1017-1029)
     l_env_new = jnp.einsum("bai,aim->bm", left_part, A_left)
+
+    if cfg.renorm_envs:
+        # Norm transfer (function-preserving gauge): scale the new site so
+        # the carried environment keeps unit mean norm, and compensate in
+        # the label core. Without this, canonical splits concentrate ALL
+        # chain scale in the label core, which grows like 1/|env| ~ e^N
+        # along the sweep and OVERFLOWS float32 near N~800; with it, every
+        # environment and the core stay O(1) at any chain length.
+        g = 1.0 / jnp.maximum(
+            jnp.mean(jnp.linalg.norm(l_env_new, axis=1)), 1e-30
+        )
+        A_left = A_left * g
+        l_env_new = l_env_new * g
+        label_new = label_new / g
+
     E2_new = transfer_append(E2, A_left) if cfg.L2_flag else E2
 
     # |.| totals are recorded as SUMS; sweep_once divides by the ragged

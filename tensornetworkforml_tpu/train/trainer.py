@@ -125,6 +125,7 @@ def train_model(
     debug: bool = False,
     svd_method: str = "svd",
     split_mode: str = "shared",
+    renorm_envs: bool = False,
     verbose: bool = True,
     epoch_callback: Optional[Callable] = None,
     checkpoint_path: Optional[str] = None,
@@ -159,6 +160,7 @@ def train_model(
         svd_method=svd_method,
         debug=debug,
         split_mode=split_mode,
+        renorm_envs=renorm_envs,
     )
     series = _DEBUG_SERIES if debug else _PLAIN_SERIES
     val_acc: list[float] = []

@@ -169,3 +169,25 @@ def test_matmul_precision_knob_compiles():
                        dtype=jnp.float32).T
     mps2, *_ = sweep_once(mps, phi, y, 0.05, 1e-5, cfg)
     assert bool(jnp.isfinite(mps2.sites).all())
+
+
+def test_renorm_envs_stable_at_N784():
+    """Norm-transfer gauge: a canonical sweep at N=784 float32 stays finite
+    (without it the label core overflows near the end of the sweep)."""
+    from tensornetworkforml_tpu.models.mps import product_init
+
+    N, M, L, B = 784, 8, 10, 32
+    x = np.asarray(RNG.random((B, N)), dtype=np.float32)
+    mps = product_init(jax.random.PRNGKey(0), N=N, M=M, L=L,
+                       act_fn="linear", loss_fn="MSE", dtype=jnp.float32,
+                       calibration_x=x)
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical", renorm_envs=True)
+    phi = psi_embed(jnp.asarray(x))
+    y = jax.nn.one_hot(jnp.asarray(RNG.integers(0, L, B)), L,
+                       dtype=jnp.float32).T
+    m, f0, f_fin, _ = sweep_once(mps, phi, y, 0.03, 1e-5, cfg)
+    assert bool(jnp.isfinite(m.sites).all())
+    assert bool(jnp.isfinite(m.label_site).all())
+    assert bool(jnp.isfinite(f_fin).all())
+    assert float(jnp.abs(m.label_site).max()) < 1e4
