@@ -31,8 +31,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mnist/fashion share the IDX loader (Fashion-MNIST "
                         "ships the same file names); cifar10 reads the "
                         "binary batches as 32x32 grayscale")
-    p.add_argument("--pool", action="store_true",
-                   help="2x2 max-pool (28x28 -> 14x14 / 32x32 -> 16x16)")
+    p.add_argument("--pool", action="store_true", default=True,
+                   help="2x2 max-pool (default; 28x28 -> 14x14)")
+    p.add_argument("--full", dest="pool", action="store_false",
+                   help="train on the full-resolution chain (N=784/1024; "
+                        "EXPERIMENTAL: long-chain DMRG optimisation is "
+                        "oscillatory, see ROADMAP.md)")
     p.add_argument("--M", type=int, default=32, help="Bond dimension")
     p.add_argument("--n_epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=256)
@@ -103,9 +107,11 @@ def main(argv=None):
     )
 
     # long chains need the norm-transfer gauge (the label core otherwise
-    # overflows float32 along a canonical sweep) and a smaller step size
+    # overflows float32 along a canonical sweep), a growth cap on the
+    # two-site tensor, and a smaller step size
     long_chain = N > 400
     lr = args.lr if args.lr is not None else (0.03 if long_chain else 0.2)
+    growth_cap = 0.002 if long_chain else 0.0
 
     x_cal, _ = next(train_loader.batches())
     mps = product_init(
@@ -128,7 +134,7 @@ def main(argv=None):
 
         cfg = SweepConfig(act_fn=args.act_fn, loss_fn=args.loss_fn,
                           L2_flag=False, split_mode="canonical",
-                          renorm_envs=long_chain)
+                          renorm_envs=long_chain, growth_cap=growth_cap)
         trainer.cfg = cfg
         trainer._steps = {
             left: make_sharded_train_step(mesh, cfg, mps.T, 10, left)
@@ -147,6 +153,7 @@ def main(argv=None):
             mps, train_loader, val_loader, lr=lr,
             n_epochs=args.n_epochs, weight_dec=args.weight_dec,
             L2_flag=False, split_mode="canonical", renorm_envs=long_chain,
+            growth_cap=growth_cap,
         )
 
     test_acc = evaluate_accuracy(mps, test_loader)

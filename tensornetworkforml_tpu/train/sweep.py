@@ -86,6 +86,9 @@ class SweepConfig(NamedTuple):
     # at unit mean norm -- required for canonical-split sweeps on chains
     # past N ~ 500 in float32, where the core otherwise overflows)
     renorm_envs: bool = False
+    # max fractional growth of sum|B| per step (0 = unlimited, reference
+    # behaviour); e.g. 0.005 bounds per-sweep growth to (1.005)^N
+    growth_cap: float = 0.0
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -177,6 +180,16 @@ def two_site_update(
 
     # ascent step (loss derivatives are defined so ascent == descent)
     B_new = B_t + lr * deltaB
+    if cfg.growth_cap > 0:
+        # long-chain stabiliser: cap the per-step norm growth of B. Clipped
+        # updates otherwise compound |B| by up to (1+lr) per step --
+        # e^(lr*N) per sweep, which overflows float32 near N~800 even under
+        # the norm-transfer gauge.
+        s_new = jnp.sum(jnp.abs(B_new))
+        cap = (1.0 + cfg.growth_cap) * s_B
+        B_new = B_new * jnp.where(
+            s_new > cap, cap / jnp.maximum(s_new, 1e-30), 1.0
+        )
 
     # recompute the network output with the updated B (stale right env)
     f_new = jnp.einsum("bai,aiojc,bjc->ob", left_part, B_new, right_part)

@@ -126,6 +126,7 @@ def train_model(
     svd_method: str = "svd",
     split_mode: str = "shared",
     renorm_envs: bool = False,
+    growth_cap: float = 0.0,
     verbose: bool = True,
     epoch_callback: Optional[Callable] = None,
     checkpoint_path: Optional[str] = None,
@@ -161,6 +162,7 @@ def train_model(
         debug=debug,
         split_mode=split_mode,
         renorm_envs=renorm_envs,
+        growth_cap=growth_cap,
     )
     series = _DEBUG_SERIES if debug else _PLAIN_SERIES
     val_acc: list[float] = []
