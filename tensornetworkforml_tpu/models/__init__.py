@@ -1,10 +1,17 @@
 from tensornetworkforml_tpu.models.mps import (
     MPS,
     mps_init,
+    product_init,
     mps_forward,
     apply_act_fn,
     loss_derivative,
     accuracy_from_scores,
+)
+from tensornetworkforml_tpu.models.serving import Predictor
+from tensornetworkforml_tpu.models.ring import (
+    ring_forward,
+    ring_product_init,
+    ring_trainer,
 )
 from tensornetworkforml_tpu.models.network import Network
 from tensornetworkforml_tpu.models.canonical import (
@@ -16,6 +23,11 @@ from tensornetworkforml_tpu.models.canonical import (
 )
 
 __all__ = [
+    "product_init",
+    "Predictor",
+    "ring_forward",
+    "ring_product_init",
+    "ring_trainer",
     "canonical_init",
     "canonicalize",
     "left_canonicalize",

@@ -4,6 +4,26 @@ from tensornetworkforml_tpu.train.sweep import (
     train_batch,
     two_site_update,
 )
-from tensornetworkforml_tpu.train.trainer import Trainer, train_model
+from tensornetworkforml_tpu.train.epoch import fused_epoch
+from tensornetworkforml_tpu.train.trainer import (
+    Trainer,
+    evaluate_accuracy,
+    train_model,
+)
+from tensornetworkforml_tpu.train.autodiff import (
+    AutodiffConfig,
+    AutodiffTrainer,
+)
 
-__all__ = ["SweepConfig", "sweep_once", "train_batch", "two_site_update", "Trainer", "train_model"]
+__all__ = [
+    "SweepConfig",
+    "sweep_once",
+    "train_batch",
+    "two_site_update",
+    "fused_epoch",
+    "Trainer",
+    "evaluate_accuracy",
+    "train_model",
+    "AutodiffConfig",
+    "AutodiffTrainer",
+]
