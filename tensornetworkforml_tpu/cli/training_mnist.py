@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "oscillatory, see ROADMAP.md)")
     p.add_argument("--M", type=int, default=32, help="Bond dimension")
     p.add_argument("--n_epochs", type=int, default=5)
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lr", type=float, default=None,
                    help="default 0.2 (0.03 for chains longer than 400 "
                         "sites, where per-sweep step counts demand it)")
