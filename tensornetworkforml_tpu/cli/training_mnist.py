@@ -124,22 +124,15 @@ def main(argv=None):
         from tensornetworkforml_tpu.parallel.dp import ShardedTrainer
         from tensornetworkforml_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh()
-        trainer = ShardedTrainer(
-            mesh, mps, lr=lr, weight_dec=args.weight_dec, L2_flag=False,
-        )
-        # override split gauge for the sharded path
         from tensornetworkforml_tpu.train.sweep import SweepConfig
-        from tensornetworkforml_tpu.parallel.dp import make_sharded_train_step
 
+        mesh = make_mesh()
         cfg = SweepConfig(act_fn=args.act_fn, loss_fn=args.loss_fn,
                           L2_flag=False, split_mode="canonical",
                           renorm_envs=long_chain, growth_cap=growth_cap)
-        trainer.cfg = cfg
-        trainer._steps = {
-            left: make_sharded_train_step(mesh, cfg, mps.T, 10, left)
-            for left in (False, True)
-        }
+        trainer = ShardedTrainer(
+            mesh, mps, lr=lr, weight_dec=args.weight_dec, cfg=cfg,
+        )
         val_acc = []
         for epoch in range(args.n_epochs):
             accs = [trainer.step(x, y) for x, y in train_loader.batches()]

@@ -108,17 +108,19 @@ class ShardedTrainer:
         L2_flag: bool = True,
         svd_method: str = "svd",
         shard_bonds: bool = False,
+        cfg: SweepConfig = None,
     ):
         self.mesh = mesh
         self.mps = mps
         self.lr = lr
         self.weight_dec = weight_dec
-        cfg = SweepConfig(
-            act_fn=mps.act_fn,
-            loss_fn=mps.loss_fn,
-            L2_flag=L2_flag,
-            svd_method=svd_method,
-        )
+        if cfg is None:
+            cfg = SweepConfig(
+                act_fn=mps.act_fn,
+                loss_fn=mps.loss_fn,
+                L2_flag=L2_flag,
+                svd_method=svd_method,
+            )
         self.cfg = cfg
         self._steps = {
             left: make_sharded_train_step(

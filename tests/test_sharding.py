@@ -149,3 +149,21 @@ def test_chain_parallel_env_stacks_match_sequential():
         rtol=1e-9,
         atol=1e-11,
     )
+
+
+def test_sharded_trainer_custom_cfg():
+    """The CLI's canonical-recipe sharded path: custom SweepConfig."""
+    mps = _make_mps(N=12, M=6, L=2)
+    mps = mps.replace(sites=mps.sites.astype(jnp.float32),
+                      label_site=mps.label_site.astype(jnp.float32))
+    mesh = make_mesh()
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical")
+    from tensornetworkforml_tpu.parallel.dp import ShardedTrainer as ST
+
+    trainer = ST(mesh, mps, lr=0.05, weight_dec=1e-5, cfg=cfg)
+    x = RNG.random((16, 12))
+    y = RNG.integers(0, 2, 16)
+    acc = trainer.step(x, y)
+    assert 0.0 <= acc <= 1.0
+    assert bool(jnp.isfinite(trainer.mps.sites).all())
