@@ -197,3 +197,31 @@ def test_fused_epoch_matches_sequential_sweeps():
         np.asarray(mps_forward(ref, phi_probe)),
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_network_train_debug_var_hist():
+    """Facade debug mode returns the reference's 7-series var_hist layout."""
+    data, labels = create_dataset(400, 5, 0.5, seed=21)
+    tr, va, _ = prepare_dataset(
+        data, labels, 1.0, 0.2, 160, 64, 64, embed=False, seed=22
+    )
+    x_cal, _ = next(tr.batches())
+    net = Network(
+        N=25, M=4, L=2, normalize=True,
+        calibration_X=np.stack(
+            [np.sin(np.pi * x_cal[:16] / 2), np.cos(np.pi * x_cal[:16] / 2)],
+            axis=-1,
+        ),
+        act_fn="softmax", loss_fn="full_cross_ent", dtype=jnp.float64,
+        seed=0,
+    )
+    val_acc, var_hist = net.train(
+        tr, va, lr=0.02, n_epochs=2, weight_dec=0.5, debug=True,
+        verbose=False,
+    )
+    assert var_hist.shape == (2, 7, len(tr) * 24)
+    assert np.isfinite(var_hist).all()
+    # the debug series ordering: accuracy is slot 2, MAE slot 4 (ref
+    # Network_class.py:741-747); both must be within [0, 1]-ish ranges
+    assert var_hist[:, 2].min() >= 0.0 and var_hist[:, 2].max() <= 1.0
+    assert var_hist[:, 4].min() >= 0.0
