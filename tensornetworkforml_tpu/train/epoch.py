@@ -64,7 +64,7 @@ def _epoch_scan(
                 cfg,
             )
         acc = jnp.mean((jnp.argmax(f0, axis=0) == y).astype(dtype))
-        return new_s, new_l, acc, metrics["MAE"]
+        return new_s, new_l, acc, metrics
 
     pairs = x_epoch.shape[0] // 2
     xs = (
@@ -75,22 +75,31 @@ def _epoch_scan(
     def pair_step(carry, x):
         sites, label_site = carry
         xp, yp = x
-        sites, label_site, acc_r, mae_r = one_sweep(
+        sites, label_site, acc_r, met_r = one_sweep(
             sites, label_site, xp[0], yp[0], False
         )
-        sites, label_site, acc_l, mae_l = one_sweep(
+        sites, label_site, acc_l, met_l = one_sweep(
             sites, label_site, xp[1], yp[1], True
         )
-        return (sites, label_site), (
-            jnp.stack([acc_r, acc_l]),
-            jnp.stack([mae_r, mae_l]),
-        )
+        out = {
+            "batch_accuracy": jnp.stack([acc_r, acc_l]),
+            "accuracy": jnp.stack([met_r["accuracy"], met_l["accuracy"]]),
+            "MAE": jnp.stack([met_r["MAE"], met_l["MAE"]]),
+        }
+        return (sites, label_site), out
 
-    (sites, label_site), (accs, maes) = jax.lax.scan(
+    (sites, label_site), out = jax.lax.scan(
         pair_step, (sites, label_site), xs
     )
-    return sites, label_site, accs.reshape(-1), maes.reshape(
-        2 * pairs, -1
+    nb = 2 * pairs
+    return (
+        sites,
+        label_site,
+        out["batch_accuracy"].reshape(nb),
+        {
+            "accuracy": out["accuracy"].reshape(nb, -1),
+            "MAE": out["MAE"].reshape(nb, -1),
+        },
     )
 
 
@@ -106,7 +115,9 @@ def fused_epoch(
     number of batches must be even (direction alternates per batch, so the
     label returns to site 0 at the end).
 
-    Returns ``(new_mps, accs (n_batches,), maes (n_batches, N-1))``.
+    Returns ``(new_mps, batch_accs (n_batches,), step_metrics)`` where
+    ``step_metrics`` holds the per-step series ``accuracy`` and ``MAE``
+    with shape ``(n_batches, N-1)`` (the reference's ``var_hist`` content).
     """
     if cfg is None:
         cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn)
@@ -117,10 +128,10 @@ def fused_epoch(
     ranks = jnp.full((mps.N - 1,), mps.M, dtype=jnp.int32)
     lr = jnp.asarray(lr, dtype=mps.dtype)
     weight_dec = jnp.asarray(weight_dec, dtype=mps.dtype)
-    sites, label_site, accs, maes = _epoch_scan(
+    sites, label_site, accs, step_metrics = _epoch_scan(
         mps.sites,
         mps.label_site,
-        jnp.asarray(x_epoch),
+        jnp.asarray(x_epoch, dtype=mps.dtype),
         jnp.asarray(y_epoch),
         lr,
         weight_dec,
@@ -129,4 +140,4 @@ def fused_epoch(
         cfg,
         mps.L,
     )
-    return mps.replace(sites=sites, label_site=label_site), accs, maes
+    return mps.replace(sites=sites, label_site=label_site), accs, step_metrics

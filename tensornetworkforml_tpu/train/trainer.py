@@ -127,6 +127,7 @@ def train_model(
     split_mode: str = "shared",
     renorm_envs: bool = False,
     growth_cap: float = 0.0,
+    fused: bool = True,
     verbose: bool = True,
     epoch_callback: Optional[Callable] = None,
     checkpoint_path: Optional[str] = None,
@@ -174,8 +175,42 @@ def train_model(
         epoch_series: dict[str, list[np.ndarray]] = {k: [] for k in series}
         train_accs = []
 
+        # Whole-epoch fusion: when the epoch's batches are uniform raw-pixel
+        # arrays (and the config allows it), run the ENTIRE epoch as one
+        # device program (train/epoch.py) -- one dispatch instead of one per
+        # batch. Falls back to the per-batch loop otherwise.
+        batch_iter = None
+        if fused and not debug and cfg.rank_mode == "fixed" and mps.l_pos == 0:
+            batches = list(_loader_batches(train_loader))
+            xs_np = [np.asarray(x) for x, _ in batches]
+            ys_np = [np.asarray(y) for _, y in batches]
+            uniform = (
+                len(batches) >= 2
+                and len(batches) % 2 == 0
+                and all(x.ndim == 2 for x in xs_np)
+                and len({x.shape for x in xs_np}) == 1
+                and len({y.shape for y in ys_np}) == 1
+            )
+            if uniform:
+                from tensornetworkforml_tpu.train.epoch import fused_epoch
+
+                mps, accs, stepm = fused_epoch(
+                    mps, np.stack(xs_np), np.stack(ys_np), epoch_lr,
+                    weight_dec, cfg,
+                )
+                train_accs = [float(a) for a in np.asarray(accs)]
+                epoch_series["accuracy"].append(
+                    np.asarray(stepm["accuracy"]).reshape(-1)
+                )
+                epoch_series["MAE"].append(np.asarray(stepm["MAE"]).reshape(-1))
+                batch_iter = ()  # epoch fully handled by the fused program
+            else:
+                batch_iter = iter(batches)  # replay the drawn batches
+        if batch_iter is None:
+            batch_iter = _loader_batches(train_loader)
+
         n_batches = len(train_loader) if hasattr(train_loader, "__len__") else None
-        for i, (x, y) in enumerate(_loader_batches(train_loader)):
+        for i, (x, y) in enumerate(batch_iter):
             phi = _as_phi(x, mps.dtype)
             y = jnp.asarray(np.asarray(y))
             y_onehot = jnp.zeros((mps.L, y.shape[0]), dtype=mps.dtype)

@@ -186,9 +186,10 @@ def test_fused_epoch_matches_sequential_sweeps():
             float(jnp.mean((jnp.argmax(f0, axis=0) == jnp.asarray(y[i]))))
         )
 
-    fused, accs, maes = fused_epoch(mps, x, y, 0.02, 1.0, cfg)
+    fused, accs, stepm = fused_epoch(mps, x, y, 0.02, 1.0, cfg)
     np.testing.assert_allclose(np.asarray(accs), ref_accs, atol=1e-12)
-    assert maes.shape == (nb, 24)
+    assert stepm["MAE"].shape == (nb, 24)
+    assert stepm["accuracy"].shape == (nb, 24)
     phi_probe = psi_embed(jnp.asarray(x[0][:8]))
     from tensornetworkforml_tpu.models.mps import mps_forward
 
