@@ -267,6 +267,10 @@ class Trainer:
         L2_flag: bool = True,
         debug: bool = False,
         svd_method: str = "svd",
+        split_mode: str = "shared",
+        renorm_envs: bool = False,
+        growth_cap: float = 0.0,
+        fused: bool = True,
         verbose: bool = True,
     ):
         self.lr = lr
@@ -274,9 +278,14 @@ class Trainer:
         self.L2_flag = L2_flag
         self.debug = debug
         self.svd_method = svd_method
+        self.split_mode = split_mode
+        self.renorm_envs = renorm_envs
+        self.growth_cap = growth_cap
+        self.fused = fused
         self.verbose = verbose
 
-    def fit(self, mps: MPS, train_loader, val_loader, n_epochs: int):
+    def fit(self, mps: MPS, train_loader, val_loader, n_epochs: int,
+            checkpoint_path=None, resume=False):
         return train_model(
             mps,
             train_loader,
@@ -287,5 +296,11 @@ class Trainer:
             L2_flag=self.L2_flag,
             debug=self.debug,
             svd_method=self.svd_method,
+            split_mode=self.split_mode,
+            renorm_envs=self.renorm_envs,
+            growth_cap=self.growth_cap,
+            fused=self.fused,
+            checkpoint_path=checkpoint_path,
+            resume=resume,
             verbose=self.verbose,
         )
