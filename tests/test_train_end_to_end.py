@@ -226,3 +226,37 @@ def test_network_train_debug_var_hist():
     # Network_class.py:741-747); both must be within [0, 1]-ish ranges
     assert var_hist[:, 2].min() >= 0.0 and var_hist[:, 2].max() <= 1.0
     assert var_hist[:, 4].min() >= 0.0
+
+
+def test_fused_and_loop_trainer_paths_agree():
+    """train_model(fused=True) and (fused=False) produce identical models
+    and var_hist on uniform raw-pixel loaders."""
+    data, labels = create_dataset(512, 5, 0.5, seed=31)
+    mk = lambda: prepare_dataset(
+        data, labels, 1.0, 0.2, 128, 64, 64, embed=False, seed=32
+    )
+    from tensornetworkforml_tpu.models.mps import mps_forward, product_init
+
+    results = []
+    for fused in (True, False):
+        tr, va, _ = mk()
+        x_cal, _ = next(tr.batches())
+        mps = product_init(
+            jax.random.PRNGKey(5), N=25, M=5, L=2, act_fn="linear",
+            loss_fn="MSE", dtype=jnp.float64, calibration_x=x_cal[:64],
+        )
+        mps, val_acc, var_hist = train_model(
+            mps, tr, va, lr=0.05, n_epochs=2, weight_dec=1e-5,
+            L2_flag=False, split_mode="canonical", fused=fused,
+            verbose=False,
+        )
+        results.append((mps, val_acc, var_hist))
+
+    (m1, v1, h1), (m2, v2, h2) = results
+    assert h1.shape == h2.shape
+    np.testing.assert_allclose(h1, h2, rtol=1e-9, atol=1e-11)
+    phi = psi_embed(jnp.asarray(data[:16].reshape(16, -1)))
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(m1, phi)), np.asarray(mps_forward(m2, phi)),
+        rtol=1e-8, atol=1e-10,
+    )
