@@ -110,10 +110,16 @@ def fused_epoch(
     lr: float,
     weight_dec: float,
     cfg: SweepConfig = None,
+    mesh=None,
 ):
     """Run one fused epoch; the label leg must start at site 0 and the
     number of batches must be even (direction alternates per batch, so the
     label returns to site 0 at the end).
+
+    With a ``mesh``, each batch's sample axis is sharded over the mesh's
+    ``data`` axis (parameters replicated): the whole DATA-PARALLEL epoch is
+    still ONE device program, with one gradient psum per sweep step riding
+    the interconnect.
 
     Returns ``(new_mps, batch_accs (n_batches,), step_metrics)`` where
     ``step_metrics`` holds the per-step series ``accuracy`` and ``MAE``
@@ -128,11 +134,28 @@ def fused_epoch(
     ranks = jnp.full((mps.N - 1,), mps.M, dtype=jnp.int32)
     lr = jnp.asarray(lr, dtype=mps.dtype)
     weight_dec = jnp.asarray(weight_dec, dtype=mps.dtype)
+    x_dev = jnp.asarray(x_epoch, dtype=mps.dtype)
+    y_dev = jnp.asarray(y_epoch)
+    sites, label_site = mps.sites, mps.label_site
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tensornetworkforml_tpu.parallel.mesh import DATA_AXIS
+
+        x_dev = jax.device_put(
+            x_dev, NamedSharding(mesh, P(None, DATA_AXIS, None))
+        )
+        y_dev = jax.device_put(y_dev, NamedSharding(mesh, P(None, DATA_AXIS)))
+        repl = NamedSharding(mesh, P())
+        sites = jax.device_put(sites, repl)
+        label_site = jax.device_put(label_site, repl)
+
     sites, label_site, accs, step_metrics = _epoch_scan(
-        mps.sites,
-        mps.label_site,
-        jnp.asarray(x_epoch, dtype=mps.dtype),
-        jnp.asarray(y_epoch),
+        sites,
+        label_site,
+        x_dev,
+        y_dev,
         lr,
         weight_dec,
         ranks,

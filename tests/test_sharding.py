@@ -167,3 +167,36 @@ def test_sharded_trainer_custom_cfg():
     acc = trainer.step(x, y)
     assert 0.0 <= acc <= 1.0
     assert bool(jnp.isfinite(trainer.mps.sites).all())
+
+
+def test_fused_epoch_data_parallel_matches_single_device():
+    """A whole data-parallel epoch as ONE program == the unsharded epoch."""
+    from tensornetworkforml_tpu.models.mps import product_init
+    from tensornetworkforml_tpu.train.epoch import fused_epoch
+
+    N, M, L, nb, B = 16, 5, 3, 4, 32
+    x = RNG.random((nb, B, N)).astype(np.float64)
+    y = RNG.integers(0, L, (nb, B))
+    mps = product_init(jax.random.PRNGKey(0), N=N, M=M, L=L,
+                       act_fn="linear", loss_fn="MSE", dtype=jnp.float64,
+                       calibration_x=x[0])
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical")
+
+    m_single, accs_s, stepm_s = fused_epoch(mps, x, y, 0.05, 1e-5, cfg)
+    mesh = make_mesh()
+    m_dp, accs_d, stepm_d = fused_epoch(mps, x, y, 0.05, 1e-5, cfg,
+                                        mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(accs_d), np.asarray(accs_s), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(stepm_d["MAE"]), np.asarray(stepm_s["MAE"]),
+        rtol=1e-8, atol=1e-10,
+    )
+    phi = psi_embed(jnp.asarray(RNG.random((8, N))))
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(m_dp, phi)),
+        np.asarray(mps_forward(m_single, phi)),
+        rtol=1e-7, atol=1e-9,
+    )
