@@ -177,6 +177,7 @@ def test_rank_schedule_matches_reference_shapes(reference_modules):
     ("linear", "MSE"),
     ("sigmoid", "MSE"),
     ("softmax", "cross_entropy"),
+    ("sigmoid", "cross_entropy"),  # the y/f derivative branch (ref :830)
     ("linear", "full_cross_ent"),
 ])
 def test_sweep_parity_all_losses(reference_modules, act, loss, capsys):
