@@ -8,6 +8,11 @@ from tensornetworkforml_tpu.models.mps import (
     accuracy_from_scores,
 )
 from tensornetworkforml_tpu.models.serving import Predictor
+from tensornetworkforml_tpu.models.boundary import (
+    BoundaryMPS,
+    boundary_forward,
+    boundary_product_init,
+)
 from tensornetworkforml_tpu.models.ring import (
     ring_forward,
     ring_product_init,
@@ -24,6 +29,9 @@ from tensornetworkforml_tpu.models.canonical import (
 
 __all__ = [
     "product_init",
+    "BoundaryMPS",
+    "boundary_forward",
+    "boundary_product_init",
     "Predictor",
     "ring_forward",
     "ring_product_init",

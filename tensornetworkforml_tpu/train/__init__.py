@@ -14,6 +14,11 @@ from tensornetworkforml_tpu.train.autodiff import (
     AutodiffConfig,
     AutodiffTrainer,
 )
+from tensornetworkforml_tpu.train.onesite import (
+    OneSiteConfig,
+    onesite_sweep,
+    train_boundary_model,
+)
 
 __all__ = [
     "SweepConfig",
@@ -26,4 +31,7 @@ __all__ = [
     "train_model",
     "AutodiffConfig",
     "AutodiffTrainer",
+    "OneSiteConfig",
+    "onesite_sweep",
+    "train_boundary_model",
 ]
