@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--dp", action="store_true",
                    help="Shard the batch over all devices (data parallel)")
+    p.add_argument("--trainer", type=str, default="twosite",
+                   choices=["twosite", "onesite"],
+                   help="onesite: SVD-free boundary-label sweeps (~7x "
+                        "faster steps; recommended with --full)")
     return p
 
 
@@ -114,6 +118,43 @@ def main(argv=None):
     growth_cap = 0.002 if long_chain else 0.0
 
     x_cal, _ = next(train_loader.batches())
+
+    if args.trainer == "onesite":
+        from tensornetworkforml_tpu.models.boundary import (
+            boundary_product_init,
+        )
+        from tensornetworkforml_tpu.train.onesite import train_boundary_model
+
+        model = boundary_product_init(
+            jax.random.PRNGKey(args.seed), N=N, M=args.M, L=10,
+            act_fn=args.act_fn, loss_fn=args.loss_fn, dtype=jnp.float32,
+            calibration_x=x_cal[:256],
+        )
+        lr1 = args.lr if args.lr is not None else (0.05 if long_chain else 0.2)
+        model, val_acc = train_boundary_model(
+            model, train_loader, val_loader, lr=lr1,
+            n_epochs=args.n_epochs, weight_dec=args.weight_dec, verbose=True,
+        )
+        # test accuracy via the boundary forward
+        from tensornetworkforml_tpu.models.boundary import boundary_forward
+        from tensornetworkforml_tpu.ops.embedding import psi_embed
+        import jax.numpy as _jnp
+
+        accs = []
+        for x_t, y_t in test_loader.batches():
+            scores = boundary_forward(
+                model, psi_embed(_jnp.asarray(x_t, dtype=_jnp.float32))
+            )
+            accs.append(
+                float(_jnp.mean(_jnp.argmax(scores, 0) == _jnp.asarray(y_t)))
+            )
+        test_acc = float(np.mean(accs)) if accs else float("nan")
+        print(f"\nTest accuracy: {test_acc:.4f}")
+        np.savez(args.out, sites=np.asarray(model.sites),
+                 w=np.asarray(model.w))
+        print(f"Model saved to {args.out}")
+        return val_acc, test_acc
+
     mps = product_init(
         jax.random.PRNGKey(args.seed), N=N, M=args.M, L=10,
         act_fn=args.act_fn, loss_fn=args.loss_fn, dtype=jnp.float32,

@@ -35,6 +35,12 @@ class OneSiteConfig(NamedTuple):
     act_fn: str = "linear"
     loss_fn: str = "MSE"
     update_w: bool = True
+    # scaled-isometry gauge: fold a per-step scale into each site so the
+    # carried environment keeps unit mean norm and the QR factor stays
+    # O(1). Required for chains past N ~ 500 in float32 (pure QR moves
+    # concentrate exp(N) scale in the carried factor); changes the
+    # effective step size, so keep False for short chains.
+    renorm: bool = False
 
 
 def _site_update(A, x, l_env, r_envL, y_onehot, f, lr, weight_dec, T, cfg):
@@ -100,13 +106,28 @@ def _sweep_right(sites, w, phi, y_onehot, lr, weight_dec, T, cfg):
             A, x, l_env, r_envL, y_onehot, f, lr, weight_dec, T, cfg
         )
 
-        # exact center move: reduced QR over the (le,d) rows
+        # exact center move: reduced QR over the (le,d) rows. The scale is
+        # folded into the site as a SCALED isometry (A = gQ, carry R/g):
+        # the carried environment keeps unit mean norm and the carried
+        # factor stays O(1), so nothing accumulates exp(N) scale anywhere
+        # (pure QR moves overflow float32 within one N~800 sweep).
         q, r = jnp.linalg.qr(A_new.reshape(M * D, M))
-        A_iso = q.reshape(M, D, M)
+        env_q = jnp.einsum("bl,bd,ldr->br", l_env, x, q.reshape(M, D, M))
+        if cfg.renorm:
+            g = 1.0 / jnp.maximum(
+                jnp.mean(jnp.linalg.norm(env_q, axis=1)), 1e-30
+            )
+        else:
+            g = jnp.ones((), dtype=dtype)
+        A_iso = (g * q).reshape(M, D, M)
         # last site keeps the center (no factor to pass on)
         A_out = jnp.where(is_last, A_new, A_iso)
-        Rf_new = jnp.where(is_last, jnp.eye(M, dtype=dtype), r)
-        l_env_new = jnp.einsum("bl,bd,ldr->br", l_env, x, A_out)
+        Rf_new = jnp.where(is_last, jnp.eye(M, dtype=dtype), r / g)
+        l_env_new = jnp.where(
+            is_last,
+            jnp.einsum("bl,bd,ldr->br", l_env, x, A_new),
+            env_q * g,
+        )
         return (l_env_new, Rf_new), (A_out, metrics)
 
     is_last = jnp.zeros((N,), dtype=bool).at[N - 1].set(True)
@@ -160,13 +181,31 @@ def _sweep_left(sites, w, phi, y_onehot, lr, weight_dec, T, cfg):
             A, x, l_env, r_envL, y_onehot, f, lr, weight_dec, T, cfg
         )
 
-        # exact center move: LQ over the (d,ri) columns (QR of the transpose)
+        # exact center move: LQ over the (d,ri) columns (QR of the
+        # transpose), with the scaled-isometry gauge as in the right sweep
         qt, rt = jnp.linalg.qr(A_new.reshape(M, D * M).T)
-        A_iso = qt.T.reshape(M, D, M)
+        Q = qt.T.reshape(M, D, M)
+        mat_q = jnp.einsum("ldr,bd->blr", Q, x)
+        env_q = jnp.einsum("blr,bro->blo", mat_q, r_envL)
+        if cfg.renorm:
+            g = 1.0 / jnp.maximum(
+                jnp.mean(jnp.linalg.norm(env_q.reshape(B, -1), axis=1)),
+                1e-30,
+            )
+        else:
+            g = jnp.ones((), dtype=dtype)
+        A_iso = g * Q
         A_out = jnp.where(is_first, A_new, A_iso)
-        Rf_new = jnp.where(is_first, jnp.eye(M, dtype=dtype), rt.T)
-        mat = jnp.einsum("ldr,bd->blr", A_out, x)
-        r_envL_new = jnp.einsum("blr,bro->blo", mat, r_envL)
+        Rf_new = jnp.where(is_first, jnp.eye(M, dtype=dtype), rt.T / g)
+        r_envL_new = jnp.where(
+            is_first,
+            jnp.einsum(
+                "blr,bro->blo",
+                jnp.einsum("ldr,bd->blr", A_new, x),
+                r_envL,
+            ),
+            env_q * g,
+        )
         return (r_envL_new, Rf_new), (A_out, metrics)
 
     is_first = jnp.zeros((N,), dtype=bool).at[0].set(True)
@@ -237,6 +276,7 @@ def train_boundary_model(
     lr: float,
     n_epochs: int,
     weight_dec: float = 1e-5,
+    renorm: bool = None,
     verbose: bool = False,
 ):
     """Epoch loop with alternating one-site sweep directions.
@@ -249,7 +289,10 @@ def train_boundary_model(
     from tensornetworkforml_tpu.ops.embedding import psi_embed
     from tensornetworkforml_tpu.train.trainer import _loader_batches
 
-    cfg = OneSiteConfig(act_fn=model.act_fn, loss_fn=model.loss_fn)
+    if renorm is None:
+        renorm = model.N > 400
+    cfg = OneSiteConfig(act_fn=model.act_fn, loss_fn=model.loss_fn,
+                        renorm=renorm)
     val_acc = []
     left = False
     for epoch in range(n_epochs):
