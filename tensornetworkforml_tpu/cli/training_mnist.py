@@ -130,7 +130,12 @@ def main(argv=None):
             act_fn=args.act_fn, loss_fn=args.loss_fn, dtype=jnp.float32,
             calibration_x=x_cal[:256],
         )
-        lr1 = args.lr if args.lr is not None else (0.05 if long_chain else 0.2)
+        base_lr = args.lr if args.lr is not None else (
+            0.05 if long_chain else 0.2
+        )
+        # geometric decay holds the fit once reached (measured: stable 1.0
+        # at N=784 across epochs vs overshoot at constant lr)
+        lr1 = (lambda e: base_lr * (0.3 ** e)) if long_chain else base_lr
         model, val_acc = train_boundary_model(
             model, train_loader, val_loader, lr=lr1,
             n_epochs=args.n_epochs, weight_dec=args.weight_dec, verbose=True,

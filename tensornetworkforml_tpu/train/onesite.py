@@ -273,7 +273,7 @@ def train_boundary_model(
     model: BoundaryMPS,
     train_loader,
     val_loader,
-    lr: float,
+    lr,
     n_epochs: int,
     weight_dec: float = 1e-5,
     renorm: bool = None,
@@ -281,7 +281,8 @@ def train_boundary_model(
 ):
     """Epoch loop with alternating one-site sweep directions.
 
-    Returns ``(model, val_acc list)``.
+    ``lr`` may be a float or a callable ``epoch -> float``. Returns
+    ``(model, val_acc list)``.
     """
     import numpy as np
 
@@ -293,16 +294,18 @@ def train_boundary_model(
         renorm = model.N > 400
     cfg = OneSiteConfig(act_fn=model.act_fn, loss_fn=model.loss_fn,
                         renorm=renorm)
+    lr_fn = lr if callable(lr) else (lambda _e: lr)
     val_acc = []
     left = False
     for epoch in range(n_epochs):
+        epoch_lr = float(lr_fn(epoch))
         for x, y in _loader_batches(train_loader):
             phi = psi_embed(jnp.asarray(np.asarray(x), dtype=model.dtype))
             y = np.asarray(y)
             y1h = np.zeros((model.L, len(y)), dtype=np.float32)
             y1h[y, np.arange(len(y))] = 1.0
             model, _ = onesite_sweep(
-                model, phi, jnp.asarray(y1h), lr, weight_dec, left, cfg
+                model, phi, jnp.asarray(y1h), epoch_lr, weight_dec, left, cfg
             )
             left = not left
         accs = []
