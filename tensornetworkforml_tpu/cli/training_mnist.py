@@ -133,12 +133,13 @@ def main(argv=None):
         base_lr = args.lr if args.lr is not None else (
             0.05 if long_chain else 0.2
         )
-        # geometric decay holds the fit once reached (measured: stable 1.0
-        # at N=784 across epochs vs overshoot at constant lr)
-        lr1 = (lambda e: base_lr * (0.3 ** e)) if long_chain else base_lr
+        # per-SWEEP geometric decay holds the fit once reached (measured:
+        # stable 1.0 at N=784 across epochs; constant lr overshoots to 0.3)
+        decay = 0.3 ** (1.0 / 15.0) if long_chain else 1.0
         model, val_acc = train_boundary_model(
-            model, train_loader, val_loader, lr=lr1,
-            n_epochs=args.n_epochs, weight_dec=args.weight_dec, verbose=True,
+            model, train_loader, val_loader, lr=base_lr,
+            n_epochs=args.n_epochs, weight_dec=args.weight_dec,
+            lr_sweep_decay=decay, verbose=True,
         )
         # test accuracy via the boundary forward
         from tensornetworkforml_tpu.models.boundary import boundary_forward

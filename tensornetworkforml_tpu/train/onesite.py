@@ -41,6 +41,8 @@ class OneSiteConfig(NamedTuple):
     # concentrate exp(N) scale in the carried factor); changes the
     # effective step size, so keep False for short chains.
     renorm: bool = False
+    # MXU precision for the sweep's contractions ("default" = bf16 passes)
+    matmul_precision: str = "default"
 
 
 def _site_update(A, x, l_env, r_envL, y_onehot, f, lr, weight_dec, T, cfg):
@@ -237,9 +239,11 @@ def _sweep_left(sites, w, phi, y_onehot, lr, weight_dec, T, cfg):
 
 @partial(jax.jit, static_argnames=("T", "cfg", "left_dir"))
 def _onesite_jit(sites, w, phi, y_onehot, lr, weight_dec, T, cfg, left_dir):
-    if left_dir:
-        return _sweep_left(sites, w, phi, y_onehot, lr, weight_dec, T, cfg)
-    return _sweep_right(sites, w, phi, y_onehot, lr, weight_dec, T, cfg)
+    body = _sweep_left if left_dir else _sweep_right
+    if cfg.matmul_precision != "default":
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return body(sites, w, phi, y_onehot, lr, weight_dec, T, cfg)
+    return body(sites, w, phi, y_onehot, lr, weight_dec, T, cfg)
 
 
 def onesite_sweep(
@@ -277,12 +281,17 @@ def train_boundary_model(
     n_epochs: int,
     weight_dec: float = 1e-5,
     renorm: bool = None,
+    lr_sweep_decay: float = 1.0,
     verbose: bool = False,
 ):
     """Epoch loop with alternating one-site sweep directions.
 
-    ``lr`` may be a float or a callable ``epoch -> float``. Returns
-    ``(model, val_acc list)``.
+    ``lr`` may be a float or a callable ``epoch -> float``;
+    ``lr_sweep_decay`` additionally multiplies the rate ONCE PER SWEEP
+    (measured on long chains: a per-sweep geometric decay holds a stable
+    fit where constant rates overshoot -- the effective schedule must
+    track sweep count, not epochs, since each sweep is a full optimisation
+    pass over all sites). Returns ``(model, val_acc list)``.
     """
     import numpy as np
 
@@ -297,9 +306,11 @@ def train_boundary_model(
     lr_fn = lr if callable(lr) else (lambda _e: lr)
     val_acc = []
     left = False
+    sweep_idx = 0
     for epoch in range(n_epochs):
-        epoch_lr = float(lr_fn(epoch))
         for x, y in _loader_batches(train_loader):
+            epoch_lr = float(lr_fn(epoch)) * (lr_sweep_decay ** sweep_idx)
+            sweep_idx += 1
             phi = psi_embed(jnp.asarray(np.asarray(x), dtype=model.dtype))
             y = np.asarray(y)
             y1h = np.zeros((model.L, len(y)), dtype=np.float32)
