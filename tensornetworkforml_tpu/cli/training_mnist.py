@@ -156,8 +156,11 @@ def main(argv=None):
             )
         test_acc = float(np.mean(accs)) if accs else float("nan")
         print(f"\nTest accuracy: {test_acc:.4f}")
-        np.savez(args.out, sites=np.asarray(model.sites),
-                 w=np.asarray(model.w))
+        from tensornetworkforml_tpu.utils.checkpoint import (
+            save_boundary_checkpoint,
+        )
+
+        save_boundary_checkpoint(model, args.out)
         print(f"Model saved to {args.out}")
         return val_acc, test_acc
 

@@ -1,6 +1,8 @@
 from tensornetworkforml_tpu.utils.checkpoint import (
     save_checkpoint,
     load_checkpoint,
+    save_boundary_checkpoint,
+    load_boundary_checkpoint,
     save_training_state,
     load_training_state,
     load_reference_pickle,
@@ -17,6 +19,8 @@ from tensornetworkforml_tpu.utils.profiling import (
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "save_boundary_checkpoint",
+    "load_boundary_checkpoint",
     "save_training_state",
     "load_training_state",
     "load_reference_pickle",

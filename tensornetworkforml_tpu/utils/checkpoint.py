@@ -109,6 +109,45 @@ def load_training_state(path: str, template: MPS = None):
     return mps, int(meta.get("epoch", 0))
 
 
+def save_boundary_checkpoint(model, path: str) -> None:
+    """Save a BoundaryMPS (sites + output projection) to ``.npz``."""
+    meta = {
+        "version": _CKPT_VERSION,
+        "kind": "boundary",
+        "act_fn": model.act_fn,
+        "loss_fn": model.loss_fn,
+        "T": float(model.T),
+    }
+    np.savez(
+        path,
+        sites=np.asarray(model.sites),
+        w=np.asarray(model.w),
+        meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    )
+
+
+def load_boundary_checkpoint(path: str, dtype=None):
+    """Load a BoundaryMPS from a ``.npz`` written by
+    ``save_boundary_checkpoint``."""
+    from tensornetworkforml_tpu.models.boundary import BoundaryMPS
+
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+        sites = data["sites"]
+        w = data["w"]
+    assert meta.get("kind") == "boundary", "not a boundary-MPS checkpoint"
+    if dtype is not None:
+        sites = sites.astype(dtype)
+        w = w.astype(dtype)
+    return BoundaryMPS(
+        sites=jnp.asarray(sites),
+        w=jnp.asarray(w),
+        act_fn=meta["act_fn"],
+        loss_fn=meta["loss_fn"],
+        T=meta["T"],
+    )
+
+
 class _RefUnpickler(pickle.Unpickler):
     """Unpickler that materialises the reference's classes as plain stubs.
 

@@ -132,3 +132,24 @@ def test_onesite_renorm_long_chain_learns():
     model, val_acc = train_boundary_model(model, tr, va, lr=0.05, n_epochs=1)
     assert bool(jnp.isfinite(model.sites).all())
     assert max(val_acc) >= 0.85, val_acc
+
+
+def test_boundary_checkpoint_roundtrip(tmp_path):
+    import os
+
+    from tensornetworkforml_tpu.utils.checkpoint import (
+        load_boundary_checkpoint,
+        save_boundary_checkpoint,
+    )
+
+    model = boundary_product_init(jax.random.PRNGKey(4), N=12, M=4, L=3,
+                                  dtype=jnp.float32)
+    path = os.path.join(tmp_path, "b.npz")
+    save_boundary_checkpoint(model, path)
+    loaded = load_boundary_checkpoint(path)
+    phi = psi_embed(jnp.asarray(RNG.random((5, 12)), dtype=jnp.float32))
+    np.testing.assert_array_equal(
+        np.asarray(boundary_forward(model, phi)),
+        np.asarray(boundary_forward(loaded, phi)),
+    )
+    assert loaded.act_fn == model.act_fn
