@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--dp", action="store_true",
                    help="Shard the batch over all devices (data parallel)")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="Path for per-epoch training-state checkpoints")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume from --checkpoint if it exists")
     p.add_argument("--trainer", type=str, default="twosite",
                    choices=["twosite", "onesite"],
                    help="onesite: SVD-free boundary-label sweeps (~7x "
@@ -196,7 +200,8 @@ def main(argv=None):
             mps, train_loader, val_loader, lr=lr,
             n_epochs=args.n_epochs, weight_dec=args.weight_dec,
             L2_flag=False, split_mode="canonical", renorm_envs=long_chain,
-            growth_cap=growth_cap,
+            growth_cap=growth_cap, checkpoint_path=args.checkpoint,
+            resume=args.resume,
         )
 
     test_acc = evaluate_accuracy(mps, test_loader)
