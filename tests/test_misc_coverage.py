@@ -100,3 +100,29 @@ def test_predictor_from_npz_checkpoint(tmp_path):
         mps_forward(mps, psi_embed(jnp.asarray(x, dtype=jnp.float32)))
     ).T
     _np.testing.assert_allclose(scores, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_helpers():
+    import jax as _jax
+
+    from tensornetworkforml_tpu.models.mps import product_init as _pi
+    from tensornetworkforml_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicate_params,
+        shard_batch,
+    )
+
+    mesh = make_mesh()
+    assert mesh.devices.size == len(_jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh(shape=(3, 5))  # does not cover the device count
+
+    a = np.zeros((16, 4), dtype=np.float32)
+    b = np.zeros((16,), dtype=np.int32)
+    a_s, b_s = shard_batch(mesh, jnp.asarray(a), jnp.asarray(b))
+    assert a_s.sharding.is_equivalent_to(batch_sharding(mesh, 0, 2), ndim=2)
+
+    mps = _pi(jax.random.PRNGKey(0), N=6, M=3, L=2, dtype=jnp.float32)
+    mps_r = replicate_params(mesh, mps)
+    assert mps_r.sites.sharding.is_fully_replicated
