@@ -6,21 +6,40 @@ Workload (matches the reference's own timing harness,
 ``old_files/tn_develpment.ipynb`` cell 21; SURVEY.md section 6): N=25
 (5x5 diagonals images), bond dim M=20, L=2, 4000 train samples, batch 16 ->
 one epoch = 250 batches, each = full forward + full two-site DMRG sweep
-(24 merge/gradient/SVD steps). Reference: 26.18 s/epoch on the authors'
-CPU (single-threaded NumPy).
+(24 merge/gradient/SVD steps). Two baselines are reported:
 
-Prints ONE JSON line:
+* ``vs_baseline`` -- against the authors' published 26.18 s/epoch
+  (their ~2019 CPU, order-of-magnitude only).
+* ``vs_host_reference`` -- against the SAME reference code executed on
+  THIS host (measured once per host and cached in ``.bench_host_ref.json``;
+  pass ``--measure-reference`` to force a re-measurement, ~90 s).
+
+Also reported: the XLA-counted FLOPs of the fused epoch program and the
+resulting MFU (tiny M keeps the MXU mostly idle on this workload -- the
+honest number is ~0.1%, epoch time is SVD + small-matmul latency), plus a
+high-M datapoint (N=196, M=128, B=256 batch-sweep) where the MXU is
+actually loaded.
+
+Prints ONE JSON line with at least
     {"metric": ..., "value": <epoch seconds>, "unit": "s",
-     "vs_baseline": <reference_time / our_time>}  (higher is better)
+     "vs_baseline": <published_reference_time / our_time>}.
 """
 
+import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-REFERENCE_EPOCH_S = 26.18  # tn_develpment.ipynb cell 21
+REFERENCE_EPOCH_S = 26.18  # tn_develpment.ipynb cell 21 (authors' 2019 CPU)
+HOST_REF_CACHE = os.path.join(os.path.dirname(__file__), ".bench_host_ref.json")
+REFERENCE_DIR = "/root/reference/TensorNetwork"
+
+# TPU v5e single-core peak: 197 TFLOP/s bf16 (the MXU pass f32 matmuls
+# default to). MFU below uses this; on other backends mfu is omitted.
+V5E_PEAK_FLOPS = 197e12
 
 N_PIXELS = 25
 LINEAR_DIM = 5
@@ -30,7 +49,80 @@ N_SAMPLES = 4000
 BATCH = 16
 
 
+def measure_host_reference() -> float:
+    """Run the reference implementation's epoch (same workload) on this host.
+
+    Single-threaded NumPy, exactly the configuration bench.py times on the
+    accelerator (incl. the L2 transfer-matrix regularisation). Returns
+    seconds. ~90 s on this host.
+    """
+    sys.path.insert(0, REFERENCE_DIR)
+    import io
+    from contextlib import redirect_stdout
+
+    import Network_class as tn
+
+    from tensornetworkforml_tpu.data.diagonals import create_dataset
+
+    data, labels = create_dataset(N_SAMPLES, LINEAR_DIM, sigma=0.5, seed=0)
+    x = data.reshape(N_SAMPLES, -1).astype(np.float64)
+    phi = np.stack(
+        [np.sin(np.pi / 2 * x), np.cos(np.pi / 2 * x)], axis=-1
+    )  # the reference's psi embedding (data_generator.py:165-167)
+    y = labels.astype(np.int64)
+
+    class Loader:
+        def __init__(self, phi, y, batch):
+            self.phi, self.y, self.batch = phi, y, batch
+
+        def __len__(self):
+            return len(self.phi) // self.batch
+
+        def __iter__(self):
+            for b in range(len(self)):
+                s = slice(b * self.batch, (b + 1) * self.batch)
+                yield list(zip(self.phi[s], self.y[s]))
+
+    train_loader = Loader(phi, y, BATCH)
+    val_loader = Loader(phi[:BATCH], y[:BATCH], BATCH)  # minimal val pass
+    buf = io.StringIO()
+    with redirect_stdout(buf):  # its calibration/progress prints are not
+        net = tn.Network(       # the workload
+            N=N_PIXELS, M=BOND_DIM, L=N_LABELS, calibration_X=phi[:BATCH],
+            normalize=True, act_fn="softmax", loss_fn="full_cross_ent",
+        )
+        t0 = time.perf_counter()
+        net.train(train_loader, val_loader, lr=0.01, n_epochs=1,
+                  weight_dec=1.0, L2_flag=True)
+        t = time.perf_counter() - t0
+    return t
+
+
+def host_reference_epoch_s(force: bool = False):
+    """Same-host reference epoch time, measured once per host and cached."""
+    if not force and os.path.exists(HOST_REF_CACHE):
+        with open(HOST_REF_CACHE) as fh:
+            return json.load(fh)["epoch_s"]
+    if not os.path.isdir(REFERENCE_DIR):
+        return None
+    t = measure_host_reference()
+    with open(HOST_REF_CACHE, "w") as fh:
+        json.dump(
+            {"epoch_s": round(t, 2), "workload": "bench.py headline",
+             "note": "reference NumPy implementation, this host, 1 epoch"},
+            fh,
+        )
+    return t
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-reference", action="store_true",
+                    help="re-measure the reference epoch on this host (~90s)")
+    ap.add_argument("--skip-high-m", action="store_true",
+                    help="skip the high-M MXU-loaded datapoint")
+    args = ap.parse_args()
+
     import jax
 
     # one-time compile of the fused-epoch program dominates cold starts;
@@ -42,7 +134,7 @@ def main():
     from tensornetworkforml_tpu.data.diagonals import create_dataset
     from tensornetworkforml_tpu.models.mps import mps_init
     from tensornetworkforml_tpu.ops.embedding import psi_embed
-    from tensornetworkforml_tpu.train.epoch import fused_epoch
+    from tensornetworkforml_tpu.train.epoch import _epoch_scan, fused_epoch
     from tensornetworkforml_tpu.train.sweep import SweepConfig
 
     dtype = jnp.float32
@@ -77,13 +169,27 @@ def main():
     _ = np.asarray(mps_w.sites)  # full host sync
 
     t0 = time.perf_counter()
-    mps, accs, _ = fused_epoch(mps, x_epoch, y_epoch, 0.01, 1.0, cfg)
+    mps_out, accs, _ = fused_epoch(mps, x_epoch, y_epoch, 0.01, 1.0, cfg)
     accs = np.asarray(accs)  # host fetch forces full execution
-    checksum = float(np.asarray(mps.sites).sum())
+    checksum = float(np.asarray(mps_out.sites).sum())
     epoch_s = time.perf_counter() - t0
 
     assert np.isfinite(checksum), "training diverged"
     assert accs.shape[0] == n_batches
+
+    # Analytic FLOP count -> MFU. (XLA's cost_analysis counts a lax.scan
+    # body ONCE, not x length, so it cannot price the fused epoch; the
+    # analytic model below counts the leading contraction terms and is a
+    # LOWER bound -- SVD iterations and elementwise ops excluded.)
+    epoch_flops = analytic_sweep_flops(
+        N=N_PIXELS, M=BOND_DIM, D=2, L=N_LABELS, B=BATCH, l2=True
+    ) * n_batches
+    mfu = (
+        epoch_flops / epoch_s / V5E_PEAK_FLOPS
+        if jax.default_backend() == "tpu"
+        else None
+    )
+
     result = {
         "metric": "diagonals epoch time (N=25, M=20, batch=16, 4000 samples,"
                   " full sweep per batch)",
@@ -91,7 +197,106 @@ def main():
         "unit": "s",
         "vs_baseline": round(REFERENCE_EPOCH_S / epoch_s, 2),
     }
+
+    host_ref = host_reference_epoch_s(force=args.measure_reference)
+    if host_ref:
+        result["host_reference_s"] = round(host_ref, 2)
+        result["vs_host_reference"] = round(host_ref / epoch_s, 2)
+    result["epoch_gflops_analytic"] = round(epoch_flops / 1e9, 3)
+    if mfu is not None:
+        # honest number: tiny M keeps the MXU idle; epoch time is SVD and
+        # small-matmul latency, not FLOPs
+        result["mfu"] = round(mfu, 7)
+        result["peak_flops_assumed"] = V5E_PEAK_FLOPS
+
+    # High-M datapoint: one 195-step batch-sweep at N=196, M=128, B=256
+    # (the Fashion/CIFAR config family of BASELINE.json) where the MXU is
+    # actually loaded, with its own XLA FLOP count and MFU.
+    if not args.skip_high_m:
+        try:
+            result["high_m"] = _high_m_point(jax, jnp, dtype)
+        except Exception as e:  # never lose the headline to the extra point
+            result["high_m_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(result))
+
+
+def analytic_sweep_flops(N, M, D, L, B, l2=False) -> float:
+    """Leading-term FLOP count of one batch forward + one full two-site
+    sweep (N-1 steps). Multiply-adds counted as 2 FLOPs; SVD iterations,
+    activations, and other elementwise work EXCLUDED -- a lower bound on
+    useful work, which is the convention that keeps MFU honest.
+
+    Per-step terms (see train/sweep.py::two_site_update):
+      merge          2 M^3 D^2 L      (site x label-site over the bond)
+      phi outer      2 B D^2          ((B,D)x(B,D) -> (B,D,D))
+      Phi envs       2 B M^2 D^2      (left/right env outer products)
+      f recompute    2 B L M^2 D^2    (B_two x Phi, batched)
+      deltaB         2 B L M^2 D^2    (loss_der x Phi, batch-contracted)
+      env extend     2 B M^2 D
+      L2 (optional)  2 M^3 D + 2 M^3 D^2 L   (transfer extend + grad)
+
+    Per-batch forward: N site contractions 2 B M^2 D + N env chain steps
+    2 B M^2 (+ label contraction 2 B L M^2 once).
+    """
+    step = (
+        2 * M**3 * D**2 * L
+        + 2 * B * D**2
+        + 2 * B * M**2 * D**2
+        + 2 * (2 * B * L * M**2 * D**2)
+        + 2 * B * M**2 * D
+    )
+    if l2:
+        step += 2 * M**3 * D + 2 * M**3 * D**2 * L
+    forward = N * (2 * B * M**2 * D + 2 * B * M**2) + 2 * B * L * M**2
+    return float(forward + (N - 1) * step)
+
+
+def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8):
+    from tensornetworkforml_tpu.models.mps import mps_init
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+    from tensornetworkforml_tpu.train.sweep import (
+        SweepConfig,
+        _sweep_jit,
+    )
+
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical")
+    mps = mps_init(jax.random.PRNGKey(0), N=N, M=M, L=L, act_fn="linear",
+                   loss_fn="MSE", dtype=dtype)
+    rng = np.random.default_rng(0)
+    phi = psi_embed(jnp.asarray(rng.random((B, N)), dtype=dtype))
+    y = jnp.asarray(
+        np.eye(L, dtype=np.float32)[rng.integers(0, L, B)].T, dtype=dtype
+    )
+    ranks = jnp.full((N - 1,), M, dtype=jnp.int32)
+    lr = jnp.asarray(0.05, dtype=dtype)
+    wd = jnp.asarray(0.0, dtype=dtype)
+
+    args = (mps.sites, mps.label_site, phi, y, lr, wd, ranks, mps.T, cfg,
+            False)
+    out = _sweep_jit(*args)
+    jax.block_until_ready(out[0])  # compile + warm
+    # pipelined reps: chain the sweeps so dispatch latency overlaps
+    t0 = time.perf_counter()
+    sites, label = mps.sites, mps.label_site
+    for _ in range(reps):
+        sites, label, *_ = _sweep_jit(
+            sites, label, phi, y, lr, wd, ranks, mps.T, cfg, False
+        )
+    jax.block_until_ready(sites)
+    sweep_s = (time.perf_counter() - t0) / reps
+
+    flops = analytic_sweep_flops(N=N, M=M, D=2, L=L, B=B, l2=False)
+    point = {
+        "config": f"N={N} M={M} L={L} B={B} canonical two-site sweep",
+        "sweep_ms": round(sweep_s * 1e3, 2),
+        "step_us": round(sweep_s / (N - 1) * 1e6, 1),
+        "sweep_gflops_analytic": round(flops / 1e9, 2),
+    }
+    if jax.default_backend() == "tpu":
+        point["mfu"] = round(flops / sweep_s / V5E_PEAK_FLOPS, 5)
+    return point
 
 
 if __name__ == "__main__":

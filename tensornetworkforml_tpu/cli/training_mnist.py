@@ -144,6 +144,7 @@ def main(argv=None):
             model, train_loader, val_loader, lr=base_lr,
             n_epochs=args.n_epochs, weight_dec=args.weight_dec,
             lr_sweep_decay=decay, verbose=True,
+            checkpoint_path=args.checkpoint, resume=args.resume,
         )
         # test accuracy via the boundary forward
         from tensornetworkforml_tpu.models.boundary import boundary_forward
@@ -184,15 +185,33 @@ def main(argv=None):
         cfg = SweepConfig(act_fn=args.act_fn, loss_fn=args.loss_fn,
                           L2_flag=False, split_mode="canonical",
                           renorm_envs=long_chain, growth_cap=growth_cap)
+        start_epoch = 0
+        if args.checkpoint and args.resume:
+            import os as _os
+
+            if _os.path.exists(args.checkpoint):
+                from tensornetworkforml_tpu.utils.checkpoint import (
+                    load_training_state,
+                )
+
+                mps, start_epoch = load_training_state(args.checkpoint, mps)
+                if start_epoch:
+                    print(f"resuming from epoch {start_epoch}")
         trainer = ShardedTrainer(
             mesh, mps, lr=lr, weight_dec=args.weight_dec, cfg=cfg,
         )
         val_acc = []
-        for epoch in range(args.n_epochs):
+        for epoch in range(start_epoch, args.n_epochs):
             accs = [trainer.step(x, y) for x, y in train_loader.batches()]
             val = evaluate_accuracy(trainer.mps, val_loader)
             val_acc.append(val)
             print(f"Epoch {epoch}: train {np.mean(accs):.4f} val {val:.4f}")
+            if args.checkpoint:
+                from tensornetworkforml_tpu.utils.checkpoint import (
+                    save_training_state,
+                )
+
+                save_training_state(args.checkpoint, trainer.mps, epoch + 1)
         mps = trainer.mps
         var_hist = None
     else:

@@ -61,6 +61,13 @@ def truncated_svd_split(
             S = jnp.where(jnp.arange(rank) < keep, S, 0.0)
         S = jnp.maximum(S, 0.0)
         if split_mode == "canonical":
+            if keep is not None:
+                # Zero U's columns past `keep` too: the left factor becomes a
+                # live site tensor, and un-zeroed columns would leak weight
+                # into bond slots beyond the reference truncation rank on
+                # later steps (the right factor's rows alone don't protect
+                # the next merge).
+                U = U * (S > 0).astype(bmat.dtype)[None, :]
             return U, S[:, None] * Vh
         sqrt_s = jnp.sqrt(S)
         return U * sqrt_s[None, :], sqrt_s[:, None] * Vh
@@ -113,7 +120,9 @@ def _chol_svd_split(
         if split_mode == "canonical":
             svh = U.T @ bmat
             if keep is not None:
-                svh = svh * (S > 0).astype(bmat.dtype)[:, None]
+                mask = (S > 0).astype(bmat.dtype)
+                svh = svh * mask[:, None]
+                U = U * mask[None, :]  # no weight leak past the kept rank
             return U, svh
         sqrt_s = jnp.sqrt(jnp.maximum(S, 0.0))
         inv_sqrt = jnp.where(S > 0, 1.0 / jnp.maximum(sqrt_s, 1e-30), 0.0)
@@ -167,7 +176,9 @@ def _gram_split_impl(
             U = 1.5 * U - 0.5 * U @ (U.T @ U)
         svh = U.T @ bmat
         if keep is not None:
-            svh = svh * (S > 0).astype(bmat.dtype)[:, None]
+            mask = (S > 0).astype(bmat.dtype)
+            svh = svh * mask[:, None]
+            U = U * mask[None, :]  # no weight leak past the kept rank
         return U, svh
     sqrt_s = jnp.sqrt(S)
     # sqrt(S) V^h = sqrt(S) S^{-1} U^T B ; guard zero singular values

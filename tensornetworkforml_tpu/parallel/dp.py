@@ -36,6 +36,16 @@ from tensornetworkforml_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 def _fused_step(sites, label_site, x_raw, y, lr, weight_dec, ranks, T, cfg,
                 left_dir, n_labels):
     """Embed + one-hot + full sweep; pre-sweep accuracy included."""
+    args = (sites, label_site, x_raw, y, lr, weight_dec, ranks, T, cfg,
+            left_dir, n_labels)
+    if cfg.matmul_precision != "default":
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _fused_step_body(*args)
+    return _fused_step_body(*args)
+
+
+def _fused_step_body(sites, label_site, x_raw, y, lr, weight_dec, ranks, T,
+                     cfg, left_dir, n_labels):
     phi = psi_embed(x_raw)
     y_onehot = jax.nn.one_hot(y, n_labels, dtype=sites.dtype).T  # (L, B)
     if left_dir:

@@ -40,6 +40,20 @@ def _epoch_scan(
     The label leg must start at site 0. Returns
     ``(sites, label_site, accs (2*pairs,), maes (2*pairs, N-1))``.
     """
+    args = (
+        sites, label_site, x_epoch, y_epoch, lr, weight_dec, ranks, T, cfg,
+        n_labels,
+    )
+    if cfg.matmul_precision != "default":
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _epoch_scan_body(*args)
+    return _epoch_scan_body(*args)
+
+
+def _epoch_scan_body(
+    sites, label_site, x_epoch, y_epoch, lr, weight_dec, ranks, T, cfg,
+    n_labels,
+):
     dtype = sites.dtype
 
     def one_sweep(sites, label_site, x, y, left_dir):

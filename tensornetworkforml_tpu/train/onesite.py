@@ -283,6 +283,8 @@ def train_boundary_model(
     renorm: bool = None,
     lr_sweep_decay: float = 1.0,
     verbose: bool = False,
+    checkpoint_path: str = None,
+    resume: bool = False,
 ):
     """Epoch loop with alternating one-site sweep directions.
 
@@ -292,7 +294,13 @@ def train_boundary_model(
     fit where constant rates overshoot -- the effective schedule must
     track sweep count, not epochs, since each sweep is a full optimisation
     pass over all sites). Returns ``(model, val_acc list)``.
+
+    With ``checkpoint_path``, the model plus the full schedule state
+    (epoch, sweep counter, sweep direction) is saved after every epoch;
+    ``resume=True`` continues an interrupted run from it.
     """
+    import os
+
     import numpy as np
 
     from tensornetworkforml_tpu.models.boundary import boundary_forward
@@ -307,7 +315,18 @@ def train_boundary_model(
     val_acc = []
     left = False
     sweep_idx = 0
-    for epoch in range(n_epochs):
+    start_epoch = 0
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        from tensornetworkforml_tpu.utils.checkpoint import (
+            load_boundary_training_state,
+        )
+
+        model, start_epoch, sweep_idx, left = load_boundary_training_state(
+            checkpoint_path, dtype=model.dtype
+        )
+        if verbose and start_epoch:
+            print(f"resuming from epoch {start_epoch}")
+    for epoch in range(start_epoch, n_epochs):
         for x, y in _loader_batches(train_loader):
             epoch_lr = float(lr_fn(epoch)) * (lr_sweep_decay ** sweep_idx)
             sweep_idx += 1
@@ -329,4 +348,12 @@ def train_boundary_model(
         val_acc.append(float(np.mean(accs)) if accs else float("nan"))
         if verbose:
             print(f"epoch {epoch}: val {val_acc[-1]:.4f}")
+        if checkpoint_path:
+            from tensornetworkforml_tpu.utils.checkpoint import (
+                save_boundary_training_state,
+            )
+
+            save_boundary_training_state(
+                checkpoint_path, model, epoch + 1, sweep_idx, left
+            )
     return model, val_acc

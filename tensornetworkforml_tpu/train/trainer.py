@@ -127,6 +127,7 @@ def train_model(
     split_mode: str = "shared",
     renorm_envs: bool = False,
     growth_cap: float = 0.0,
+    matmul_precision: str = "default",
     fused: bool = True,
     verbose: bool = True,
     epoch_callback: Optional[Callable] = None,
@@ -134,6 +135,11 @@ def train_model(
     resume: bool = False,
 ):
     """Train an MPS; returns ``(mps, val_acc, var_hist)``.
+
+    ``matmul_precision``: "default" (bf16 MXU passes on TPU, fastest),
+    "tensorfloat32", or "float32" (full precision, ~2-3x contraction cost);
+    applied to every contraction on both the fused-epoch and per-batch
+    paths.
 
     ``val_acc`` is a list of per-epoch validation accuracies and
     ``var_hist`` a ``(n_epochs, n_series, n_steps)`` array, both matching
@@ -164,6 +170,7 @@ def train_model(
         split_mode=split_mode,
         renorm_envs=renorm_envs,
         growth_cap=growth_cap,
+        matmul_precision=matmul_precision,
     )
     series = _DEBUG_SERIES if debug else _PLAIN_SERIES
     val_acc: list[float] = []
@@ -180,6 +187,7 @@ def train_model(
         # device program (train/epoch.py) -- one dispatch instead of one per
         # batch. Falls back to the per-batch loop otherwise.
         batch_iter = None
+        fallback_reason = None
         if fused and not debug and cfg.rank_mode == "fixed" and mps.l_pos == 0:
             batches = list(_loader_batches(train_loader))
             xs_np = [np.asarray(x) for x, _ in batches]
@@ -205,9 +213,27 @@ def train_model(
                 epoch_series["MAE"].append(np.asarray(stepm["MAE"]).reshape(-1))
                 batch_iter = ()  # epoch fully handled by the fused program
             else:
+                fallback_reason = (
+                    "non-uniform batch shapes or odd batch count"
+                )
                 batch_iter = iter(batches)  # replay the drawn batches
         if batch_iter is None:
+            if fused and not debug:
+                fallback_reason = (
+                    f"rank_mode={cfg.rank_mode!r}"
+                    if cfg.rank_mode != "fixed"
+                    else f"label leg at site {mps.l_pos} (needs 0)"
+                )
             batch_iter = _loader_batches(train_loader)
+        if fallback_reason is not None and epoch == start_epoch:
+            import warnings
+
+            warnings.warn(
+                "fused-epoch path unavailable ({}); falling back to one "
+                "dispatch PER BATCH -- on a high-latency device link this "
+                "is a 10-100x slowdown".format(fallback_reason),
+                stacklevel=2,
+            )
 
         n_batches = len(train_loader) if hasattr(train_loader, "__len__") else None
         for i, (x, y) in enumerate(batch_iter):
@@ -270,6 +296,7 @@ class Trainer:
         split_mode: str = "shared",
         renorm_envs: bool = False,
         growth_cap: float = 0.0,
+        matmul_precision: str = "default",
         fused: bool = True,
         verbose: bool = True,
     ):
@@ -281,6 +308,7 @@ class Trainer:
         self.split_mode = split_mode
         self.renorm_envs = renorm_envs
         self.growth_cap = growth_cap
+        self.matmul_precision = matmul_precision
         self.fused = fused
         self.verbose = verbose
 
@@ -299,6 +327,7 @@ class Trainer:
             split_mode=self.split_mode,
             renorm_envs=self.renorm_envs,
             growth_cap=self.growth_cap,
+            matmul_precision=self.matmul_precision,
             fused=self.fused,
             checkpoint_path=checkpoint_path,
             resume=resume,

@@ -126,6 +126,47 @@ def save_boundary_checkpoint(model, path: str) -> None:
     )
 
 
+def save_boundary_training_state(
+    path: str, model, epoch: int, sweep_idx: int = 0, left: bool = False
+) -> None:
+    """Atomic mid-training checkpoint for the one-site (boundary) trainer:
+    model + epoch counter + sweep-schedule state (the per-sweep lr decay and
+    the alternating direction must survive a resume)."""
+    meta = {
+        "version": _CKPT_VERSION,
+        "kind": "boundary",
+        "act_fn": model.act_fn,
+        "loss_fn": model.loss_fn,
+        "T": float(model.T),
+        "epoch": int(epoch),
+        "sweep_idx": int(sweep_idx),
+        "left": bool(left),
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(
+            fh,
+            sites=np.asarray(model.sites),
+            w=np.asarray(model.w),
+            meta=np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+        )
+    os.replace(tmp, path)
+
+
+def load_boundary_training_state(path: str, dtype=None):
+    """Load a one-site mid-training checkpoint; returns
+    ``(model, next_epoch, sweep_idx, left)``."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+    model = load_boundary_checkpoint(path, dtype=dtype)
+    return (
+        model,
+        int(meta.get("epoch", 0)),
+        int(meta.get("sweep_idx", 0)),
+        bool(meta.get("left", False)),
+    )
+
+
 def load_boundary_checkpoint(path: str, dtype=None):
     """Load a BoundaryMPS from a ``.npz`` written by
     ``save_boundary_checkpoint``."""
