@@ -211,12 +211,15 @@ def main():
 
     # High-M datapoint: one 195-step batch-sweep at N=196, M=128, B=256
     # (the Fashion/CIFAR config family of BASELINE.json) where the MXU is
-    # actually loaded, with its own XLA FLOP count and MFU.
+    # actually loaded, with analytic FLOPs and MFU -- for the exact-SVD
+    # split and for the TPU-fast rangefinder split (ops/svd.py).
     if not args.skip_high_m:
-        try:
-            result["high_m"] = _high_m_point(jax, jnp, dtype)
-        except Exception as e:  # never lose the headline to the extra point
-            result["high_m_error"] = f"{type(e).__name__}: {e}"
+        for key, method in (("high_m", "svd"),
+                            ("high_m_rangefinder", "rangefinder")):
+            try:
+                result[key] = _high_m_point(jax, jnp, dtype, method=method)
+            except Exception as e:  # never lose the headline to extras
+                result[key + "_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(result))
 
@@ -252,7 +255,8 @@ def analytic_sweep_flops(N, M, D, L, B, l2=False) -> float:
     return float(forward + (N - 1) * step)
 
 
-def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8):
+def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
+                  method="svd"):
     from tensornetworkforml_tpu.models.mps import mps_init
     from tensornetworkforml_tpu.ops.embedding import psi_embed
     from tensornetworkforml_tpu.train.sweep import (
@@ -261,7 +265,7 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8):
     )
 
     cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
-                      split_mode="canonical")
+                      split_mode="canonical", svd_method=method)
     mps = mps_init(jax.random.PRNGKey(0), N=N, M=M, L=L, act_fn="linear",
                    loss_fn="MSE", dtype=dtype)
     rng = np.random.default_rng(0)
@@ -289,7 +293,8 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8):
 
     flops = analytic_sweep_flops(N=N, M=M, D=2, L=L, B=B, l2=False)
     point = {
-        "config": f"N={N} M={M} L={L} B={B} canonical two-site sweep",
+        "config": f"N={N} M={M} L={L} B={B} canonical two-site sweep"
+                  f" ({method} split)",
         "sweep_ms": round(sweep_s * 1e3, 2),
         "step_us": round(sweep_s / (N - 1) * 1e6, 1),
         "sweep_gflops_analytic": round(flops / 1e9, 2),

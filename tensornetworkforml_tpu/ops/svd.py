@@ -75,8 +75,108 @@ def truncated_svd_split(
         return _gram_split(bmat, rank, keep, split_mode)
     elif method == "cholsvd":
         return _chol_svd_split(bmat, rank, keep, split_mode)
+    elif method == "rangefinder":
+        return _rangefinder_split(bmat, rank, keep, split_mode)
     else:
         raise ValueError(f"unknown SVD method {method!r}")
+
+
+def _rangefinder_omega(J: int, rank: int, dtype):
+    """Fixed random test matrix (trace-time constant, shape-keyed)."""
+    import jax
+
+    om = jax.random.normal(
+        jax.random.PRNGKey(0x52464E44), (J, rank), dtype=jnp.float32
+    )
+    return om.astype(dtype)
+
+
+def _rangefinder_split(
+    bmat: jnp.ndarray, rank: int, keep=None, split_mode: str = "canonical",
+    n_power: int = 0, oversample: int = 16, n_polish: int = 1,
+):
+    """Randomized rangefinder split: ``(Q, Q^T B)`` with ``Q`` an exact
+    isometry spanning (approximately) the top-``rank`` row space of B.
+
+    CANONICAL MODE ONLY. In the mixed-canonical gauge the split's only
+    load-bearing outputs are an isometric left factor and the projected
+    right factor -- the function the chain computes depends on Q only
+    through the projector ``Q Q^T`` (any basis rotation inside the kept
+    subspace is gauge). So the exact singular vectors are NOT needed,
+    only their span -- and the measured two-site spectra during canonical
+    training have a genuine gap at the bond dimension (sigma_M+1/sigma_M
+    as low as 0.06, optimal truncation keeping >= 99.9% of the energy),
+    which one power iteration on a random rangefinder basis captures to
+    ~1e-4 of optimal. This replaces the TPU-slow exact SVD
+    (reference ``Network_class.py:887``) with ~5 matmuls + one thin QR.
+
+    Contrast with round 1's "warm-started subspace iteration" negative
+    result: that ablation demanded CONVERGENCE of the iteration to the
+    exact singular basis, which flat intra-subspace spectra prevent --
+    but gauge freedom makes that convergence unnecessary.
+
+    NOTE: unlike the exact SVD, Q's trailing columns may be nonzero in
+    padded (edge) bond slots when rank(B) < rank; the computed function is
+    unaffected (the right factor's corresponding rows are ~0), but the
+    evolving-rank parity of ``rank_mode="reference"`` is not preserved --
+    the combination is rejected.
+    """
+    if split_mode != "canonical":
+        raise ValueError("rangefinder split requires split_mode='canonical'")
+    if keep is not None:
+        raise ValueError(
+            "rangefinder split does not support rank_mode='reference'"
+        )
+    import jax
+
+    I, J = bmat.shape
+    q_cols = min(rank + oversample, I)
+    with jax.default_matmul_precision("float32"):
+        # Frobenius prescaling: the canonical gauge concentrates the whole
+        # chain's scale in this tensor (|B| up to ~1e11 in f32 training),
+        # and squared intermediates at that scale degrade the TPU eigh and can
+        # break the TPU QR outright. With bs = B/|B|_F every internal
+        # quantity is O(1); the subspace is scale-invariant.
+        bn = jnp.maximum(jnp.linalg.norm(bmat), 1e-30)
+        bs = bmat / bn
+        # rangefinder: oversampled sketch of the row space
+        om = _rangefinder_omega(J, q_cols, bmat.dtype)
+        y = bs @ om  # (I, q_cols)
+        norms = jnp.linalg.norm(y, axis=0, keepdims=True)
+        y = y / jnp.maximum(norms, 1e-30)
+        y, _ = jnp.linalg.qr(y)
+        for _ in range(n_power):  # orthonormalized power iterations
+            y = bs @ (bs.T @ y)
+            norms = jnp.linalg.norm(y, axis=0, keepdims=True)
+            y = y / jnp.maximum(norms, 1e-30)
+            y, _ = jnp.linalg.qr(y)
+        if q_cols > rank:
+            # Rayleigh-Ritz: top-`rank` of the q_cols-dim compression.
+            # W = (bs^T y)^T (bs^T y) is the projected Gram; its top
+            # eigenvectors rotate y onto the dominant subspace. The spectrum
+            # gap at the bond dimension (measured sigma_M+1/sigma_M down to
+            # ~0.06 during canonical training) makes the small problem easy.
+            z = bs.T @ y  # (J, q_cols)
+            w = z.T @ z  # (q_cols, q_cols) PSD
+            evals, evecs = jnp.linalg.eigh(w)  # ascending
+            v = evecs[:, ::-1][:, :rank]  # top-`rank` Ritz vectors
+            y = y @ v  # (I, rank)
+        # TPU float32 eigh is not accurate enough on this SQUARED spectrum
+        # (the round-1 gram-split finding); the eigh only SEEDS the
+        # subspace, and two orthonormalized subspace iterations on the
+        # ONCE-squared Gram bs bs^T -- driven by backward-stable Householder
+        # QR -- repair the cross-gap mixing at (sigma_{M+1}/sigma_M)^{2k}.
+        # (Iterating on W itself would be sigma^4 dynamics, which in f32
+        # numerically annihilates the bottom of the kept block.) Measured on
+        # real training bmats: one polish iteration lifts the worst-case
+        # capture from 0.99981 (raw TPU eigh) to 1-6e-7.
+        q = y
+        for _ in range(n_polish):
+            q = bs @ (bs.T @ q)
+            norms = jnp.linalg.norm(q, axis=0, keepdims=True)
+            q = q / jnp.maximum(norms, 1e-30)
+            q, _ = jnp.linalg.qr(q)
+        return q, q.T @ bmat
 
 
 def _chol_svd_split(
