@@ -89,6 +89,37 @@ class ArrayLoader:
             yield [(xb[i], yb[i]) for i in range(len(xb))]
 
 
+def with_batch_size(
+    loader: ArrayLoader, batch_size: int, even_batches: bool = False
+) -> ArrayLoader:
+    """A view of the same (sub)dataset with a different batch size.
+
+    Used by the large-batch warmup schedule (``train_model``): the first
+    epoch(s) run at a smaller batch so the noisier per-sweep gradients
+    escape init-dependent attractors that large clean batches settle into
+    (measured: B=256 final-val spread 0.20 across seeds without warmup,
+    0.037 with one half-batch warmup epoch).
+
+    ``even_batches`` trims the subset so the epoch has an EVEN number of
+    batches: sweep directions alternate per batch, so an odd count leaves
+    the label leg at the far chain end -- which silently knocks every
+    following epoch off the fused whole-epoch path.
+    """
+    indices = loader.indices
+    if even_batches:
+        n_batches = len(indices) // batch_size
+        if n_batches % 2 == 1:
+            indices = indices[: (n_batches - 1) * batch_size]
+    return ArrayLoader(
+        loader.dataset,
+        batch_size,
+        indices=indices,
+        shuffle=loader.shuffle,
+        drop_last=loader.drop_last,
+        seed=None if loader.shuffle is False else int(loader._rng.integers(2**31)),
+    )
+
+
 def psi_embed_host(x: np.ndarray) -> np.ndarray:
     """Host-side psi embedding ``(..., N) -> (..., N, 2)`` (parity mode).
 
@@ -110,6 +141,7 @@ def prepare_dataset(
     test_batch_size: int,
     embed: bool = True,
     seed: Optional[int] = None,
+    even_train_batches: bool = False,
 ):
     """Flatten, (optionally) embed, split, and build the three loaders.
 
@@ -120,6 +152,12 @@ def prepare_dataset(
 
     With ``embed=False`` the loaders yield raw flattened pixels ``(B, N)``
     for on-device embedding (the TPU fast path).
+
+    ``even_train_batches`` trims the train subset to an EVEN number of
+    batches: sweep directions alternate per batch, so an odd epoch leaves
+    the label leg at the far chain end, which knocks every following epoch
+    off the fused whole-epoch path (one dispatch -> one per batch). The
+    trim applies identically to the fused and per-batch code paths.
     """
     x = np.asarray(data).reshape(len(data), -1)
     if embed:
@@ -130,6 +168,10 @@ def prepare_dataset(
     test_set = NumpyDataset(x[m:], np.asarray(label)[m:])
 
     train_len = int(m * (1 - val_perc))
+    if even_train_batches:
+        n_batches = train_len // train_batch_size
+        if n_batches % 2 == 1 and n_batches >= 3:
+            train_len = (n_batches - 1) * train_batch_size
     train_loader = ArrayLoader(
         train_set,
         train_batch_size,

@@ -1,0 +1,54 @@
+"""Batch-size warmup (large-batch basin fix, ROADMAP item 2).
+
+Measured on TPU: B=256 final-val spread across 5 seeds is 0.20 without
+warmup (stuck runs stay flat for 8+ epochs) and 0.037 with one half-batch
+warmup epoch (mean 0.993). These tests cover the mechanics on CPU.
+"""
+
+import numpy as np
+
+import tests.conftest  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from tensornetworkforml_tpu.data.loader import (
+    ArrayLoader,
+    NumpyDataset,
+    with_batch_size,
+)
+from tensornetworkforml_tpu.models.mps import mps_init
+from tensornetworkforml_tpu.train.trainer import train_model
+
+
+def test_with_batch_size_view():
+    rng = np.random.default_rng(0)
+    ds = NumpyDataset(rng.random((100, 8)), rng.integers(0, 3, 100))
+    loader = ArrayLoader(ds, 32, indices=np.arange(64), shuffle=True,
+                         drop_last=True, seed=0)
+    half = with_batch_size(loader, 16)
+    assert half.batch_size == 16
+    assert len(half) == 4 and len(loader) == 2
+    # same subset of the dataset
+    np.testing.assert_array_equal(np.sort(half.indices),
+                                  np.sort(loader.indices))
+    xs = np.concatenate([x for x, _ in half.batches()])
+    assert xs.shape == (64, 8)
+
+
+def test_train_model_warmup_epochs():
+    rng = np.random.default_rng(1)
+    N, L, B = 8, 3, 16
+    ds = NumpyDataset(rng.random((4 * B, N)), rng.integers(0, L, 4 * B))
+    train_loader = ArrayLoader(ds, B, shuffle=True, drop_last=True, seed=0)
+    val_loader = ArrayLoader(ds, B)
+    mps = mps_init(jax.random.PRNGKey(0), N=N, M=4, L=L, act_fn="softmax",
+                   loss_fn="cross_entropy", dtype=jnp.float32)
+    _, val_acc, var_hist = train_model(
+        mps, train_loader, val_loader, lr=0.05, n_epochs=2,
+        warmup_epochs=1, verbose=False,
+    )
+    assert len(val_acc) == 2
+    # warmup epoch ran at half batch -> twice the sweeps -> twice the steps
+    steps0 = var_hist[0][0].shape[-1]
+    steps1 = var_hist[1][0].shape[-1]
+    assert steps0 == 2 * steps1
