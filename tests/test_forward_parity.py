@@ -145,3 +145,78 @@ def test_export_to_reference_pickle_roundtrip(reference_modules, tmp_path):
         # and the reference's own evaluation machinery runs on it
         acc = ref_net.accuracy(phi.copy(), np.zeros(6, dtype=int))
         assert 0.0 <= acc <= 1.0
+
+
+def test_trained_model_through_reference_test_script(
+    reference_modules, tmp_path
+):
+    """The full real-data gate (VERDICT round 1, item 8): train a model
+    end-to-end HERE, export it with ``save_reference_pickle``, and evaluate
+    it with the REFERENCE's own test-script machinery
+    (``test_binary_MNIST.py:45-88``: per-batch ``apply_act_func(forward)``,
+    ``accuracy``, MAE). The reference-side numbers must equal ours to 1e-10,
+    and the trained accuracy must be high -- proving the exporter end to
+    end on a model users would actually ship.
+    """
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+
+    from tensornetworkforml_tpu.data.diagonals import create_dataset
+    from tensornetworkforml_tpu.data.loader import prepare_dataset
+    from tensornetworkforml_tpu.models.mps import (
+        accuracy_from_scores,
+        apply_act_fn,
+        mps_init,
+    )
+    from tensornetworkforml_tpu.train.trainer import train_model
+    from tensornetworkforml_tpu.utils.checkpoint import save_reference_pickle
+
+    # train with reference semantics (shared-sqrtS split, softmax+full CE)
+    data, labels = create_dataset(600, 6, sigma=0.6, seed=1)
+    train_loader, val_loader, _ = prepare_dataset(
+        data, labels, 0.8, 0.2, train_batch_size=32, val_batch_size=64,
+        test_batch_size=64, embed=False, seed=0,
+    )
+    phi_cal = psi_embed(
+        jnp.asarray(next(train_loader.batches())[0], dtype=jnp.float64)
+    )
+    mps = mps_init(
+        jax.random.PRNGKey(0), N=36, M=8, L=2, normalize=True,
+        calibration_phi=phi_cal, act_fn="softmax",
+        loss_fn="full_cross_ent", dtype=jnp.float64,
+    )
+    mps, val_acc, _ = train_model(
+        mps, train_loader, val_loader, lr=0.02, n_epochs=2,
+        weight_dec=1.0, L2_flag=True, verbose=False,
+    )
+    assert val_acc[-1] >= 0.95, f"training failed: {val_acc}"
+
+    path = str(tmp_path / "trained_export.dat")
+    save_reference_pickle(mps, path)
+
+    # --- the reference test script's evaluation, verbatim semantics ---
+    with open(path, "rb") as fh:
+        net = pickle.load(fh)
+    test_data, test_labels = create_dataset(128, 6, sigma=0.6, seed=9)
+    x = np.asarray(
+        psi_embed(jnp.asarray(test_data.reshape(len(test_data), -1)))
+    )
+    y = np.asarray(test_labels)
+    f = net.apply_act_func(net.forward(x.copy()))
+    ref_acc = net.accuracy(x.copy(), y, f)
+    ref_mae = np.abs(y - f.elem).mean()
+
+    # --- ours, same inputs ---
+    scores = mps_forward(mps, jnp.asarray(x))
+    f_ours = apply_act_fn(scores, mps.act_fn, mps.T)
+    our_acc = float(accuracy_from_scores(scores, jnp.asarray(y)))
+    our_mae = float(jnp.mean(jnp.abs(jnp.asarray(y) - f_ours)))
+
+    assert ref_acc >= 0.95
+    np.testing.assert_allclose(ref_acc, our_acc, rtol=0, atol=1e-10)
+    np.testing.assert_allclose(ref_mae, our_mae, rtol=1e-10)
+    np.testing.assert_allclose(
+        f.elem, np.asarray(f_ours), rtol=1e-9, atol=1e-12
+    )
