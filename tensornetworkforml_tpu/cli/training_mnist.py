@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Path for per-epoch training-state checkpoints")
     p.add_argument("--resume", action="store_true",
                    help="Resume from --checkpoint if it exists")
+    p.add_argument("--bond_schedule", type=str, default=None,
+                   help='grow the bond dimension mid-training, e.g. '
+                        '"2:32,4:64" grows M to 32 at epoch 2 and 64 at '
+                        'epoch 4 (zero-padded embedding, function '
+                        'preserved exactly; one re-jit per growth)')
     p.add_argument("--warmup_epochs", type=int, default=None,
                    help="epochs at half batch size before the full batch "
                         "(default: 1 when batch_size > 128, else 0). Large "
@@ -148,6 +153,12 @@ def main(argv=None):
         if args.warmup_epochs is not None
         else (1 if args.batch_size > 128 else 0)
     )
+    bond_schedule = None
+    if args.bond_schedule:
+        bond_schedule = {
+            int(e): int(m)
+            for e, m in (kv.split(":") for kv in args.bond_schedule.split(","))
+        }
 
     x_cal, _ = next(train_loader.batches())
 
@@ -259,6 +270,7 @@ def main(argv=None):
             svd_method=args.svd_method, renorm_envs=long_chain,
             growth_cap=growth_cap, checkpoint_path=args.checkpoint,
             resume=args.resume, warmup_epochs=warmup_epochs,
+            bond_schedule=bond_schedule,
         )
 
     test_acc = evaluate_accuracy(mps, test_loader)

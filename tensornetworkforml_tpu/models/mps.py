@@ -269,6 +269,36 @@ def calibrate(mps: MPS, phi: jnp.ndarray, check: bool = False) -> MPS:
     return mps
 
 
+def grow_bond(mps: MPS, new_M: int) -> MPS:
+    """Embed the MPS into a larger bond dimension (zero padding).
+
+    The padded slots are exactly zero, so the computed function is
+    preserved exactly (up to contraction-order rounding, ~1 ulp) while the
+    shapes change -- training re-jits once at the new static shape and
+    continues. The new capacity activates
+    naturally in the first sweep: the merged two-site tensor's row space
+    spans ``old_M * D`` directions (the carried environment tensored with
+    the local feature leg), so each split can rotate weight into up to
+    ``D x`` more bond slots -- doubling M per growth step (D=2) is exactly
+    what two-site DMRG can fill. This is the bond-ADAPTIVE training the
+    reference points toward but never had (its bonds only shrink,
+    ``Network_class.py:894-910``); growing M mid-training approaches the
+    large-m Stoudenmire-Schwab configuration without paying max-M cost
+    from epoch 0.
+    """
+    N, M, D, _ = mps.sites.shape
+    L = mps.L
+    if new_M < M:
+        raise ValueError(f"grow_bond cannot shrink: {M} -> {new_M}")
+    if new_M == M:
+        return mps
+    sites = jnp.zeros((N, new_M, D, new_M), dtype=mps.sites.dtype)
+    sites = sites.at[:, :M, :, :M].set(mps.sites)
+    label_site = jnp.zeros((new_M, D, L, new_M), dtype=mps.label_site.dtype)
+    label_site = label_site.at[:M, :, :, :M].set(mps.label_site)
+    return mps.replace(sites=sites, label_site=label_site)
+
+
 @partial(jax.jit, static_argnames=("l_pos",))
 def _forward_arrays(sites, label_site, phi, l_pos: int):
     N, M, D, _ = sites.shape

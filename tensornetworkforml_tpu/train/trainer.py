@@ -135,6 +135,7 @@ def train_model(
     resume: bool = False,
     warmup_epochs: int = 0,
     warmup_batch_divisor: int = 2,
+    bond_schedule: Optional[dict] = None,
 ):
     """Train an MPS; returns ``(mps, val_acc, var_hist)``.
 
@@ -162,6 +163,12 @@ def train_model(
     small-batch basin and the large batch then holds it (spread 0.037).
     Requires an ``ArrayLoader`` train loader; with warmup the per-epoch
     step counts differ, so ``var_hist`` is returned as an object array.
+
+    ``bond_schedule``: ``{epoch: M}`` -- at the start of each listed epoch
+    the MPS is embedded into the larger bond dimension
+    (``models.mps.grow_bond``: zero padding, function preserved exactly;
+    one re-jit per growth). Grow-as-you-train approaches large-M quality
+    without paying max-M sweep cost from epoch 0.
     """
     start_epoch = 0
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
@@ -204,6 +211,14 @@ def train_model(
         )
 
     for epoch in range(start_epoch, n_epochs):
+        if bond_schedule and epoch in bond_schedule:
+            from tensornetworkforml_tpu.models.mps import grow_bond
+
+            new_M = int(bond_schedule[epoch])
+            if verbose and new_M > mps.M:
+                print(f"epoch {epoch}: growing bond dimension "
+                      f"{mps.M} -> {new_M}")
+            mps = grow_bond(mps, new_M)
         epoch_loader = (
             warm_loader if epoch < warmup_epochs else train_loader
         )
@@ -336,6 +351,7 @@ class Trainer:
         verbose: bool = True,
         warmup_epochs: int = 0,
         warmup_batch_divisor: int = 2,
+        bond_schedule: Optional[dict] = None,
     ):
         self.lr = lr
         self.weight_dec = weight_dec
@@ -350,6 +366,7 @@ class Trainer:
         self.verbose = verbose
         self.warmup_epochs = warmup_epochs
         self.warmup_batch_divisor = warmup_batch_divisor
+        self.bond_schedule = bond_schedule
 
     def fit(self, mps: MPS, train_loader, val_loader, n_epochs: int,
             checkpoint_path=None, resume=False):
@@ -373,4 +390,5 @@ class Trainer:
             verbose=self.verbose,
             warmup_epochs=self.warmup_epochs,
             warmup_batch_divisor=self.warmup_batch_divisor,
+            bond_schedule=self.bond_schedule,
         )
