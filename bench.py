@@ -220,6 +220,10 @@ def main():
                 result[key] = _high_m_point(jax, jnp, dtype, method=method)
             except Exception as e:  # never lose the headline to extras
                 result[key + "_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result["inference"] = _inference_point(jax, jnp, dtype)
+        except Exception as e:
+            result["inference_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(result))
 
@@ -281,15 +285,17 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
             False)
     out = _sweep_jit(*args)
     jax.block_until_ready(out[0])  # compile + warm
-    # pipelined reps: chain the sweeps so dispatch latency overlaps
-    t0 = time.perf_counter()
-    sites, label = mps.sites, mps.label_site
-    for _ in range(reps):
-        sites, label, *_ = _sweep_jit(
-            sites, label, phi, y, lr, wd, ranks, mps.T, cfg, False
-        )
-    jax.block_until_ready(sites)
-    sweep_s = (time.perf_counter() - t0) / reps
+    # pipelined reps, best of 2 trials (the device link is noisy)
+    sweep_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sites, label = mps.sites, mps.label_site
+        for _ in range(reps):
+            sites, label, *_ = _sweep_jit(
+                sites, label, phi, y, lr, wd, ranks, mps.T, cfg, False
+            )
+        jax.block_until_ready(sites)
+        sweep_s = min(sweep_s, (time.perf_counter() - t0) / reps)
 
     flops = analytic_sweep_flops(N=N, M=M, D=2, L=L, B=B, l2=False)
     point = {
@@ -301,6 +307,64 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
     }
     if jax.default_backend() == "tpu":
         point["mfu"] = round(flops / sweep_s / V5E_PEAK_FLOPS, 5)
+    return point
+
+
+def _inference_point(jax, jnp, dtype, N=196, M=64, L=10, B=256, reps=50):
+    """Serving forward, device time via an in-jit repetition loop (per-call
+    timings through the high-latency link measure dispatch, not compute):
+    the Pallas fused embed+chain kernel (the single-chip serving default)
+    vs the XLA env scan."""
+    from tensornetworkforml_tpu.models.mps import product_init
+    from tensornetworkforml_tpu.ops.contractions import (
+        boundary_vector,
+        right_env_stack_fused,
+    )
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+    from tensornetworkforml_tpu.ops.kernels.env_scan import (
+        right_env_chain_pallas,
+    )
+
+    rng = np.random.default_rng(0)
+    x_np = rng.random((B, N))
+    mps = product_init(jax.random.PRNGKey(0), N=N, M=M, L=L,
+                       act_fn="linear", loss_fn="MSE", dtype=dtype,
+                       calibration_x=x_np)
+    x0 = jnp.asarray(x_np, dtype=dtype)
+
+    def xla_one(x):
+        phi = psi_embed(x[:, 1:])
+        e0 = boundary_vector(M, dtype=dtype)
+        return right_env_stack_fused(
+            mps.sites[1:], phi.transpose(1, 0, 2), e0
+        )[1]
+
+    def pallas_one(x):
+        return right_env_chain_pallas(mps.sites[1:], x[:, 1:], chunk=16)
+
+    def make_looped(one):
+        @jax.jit
+        def looped(x):
+            def body(i, carry):
+                x_c, acc = carry
+                m = jnp.mean(one(x_c))
+                return (x0 + 1e-12 * m, acc + m)
+
+            _, acc = jax.lax.fori_loop(0, reps, body, (x, jnp.float32(0)))
+            return acc
+
+        return looped
+
+    point = {"config": f"N={N} M={M} L={L} B={B} forward (device time)"}
+    for name, one in (("xla_us", xla_one), ("pallas_us", pallas_one)):
+        f = make_looped(one)
+        jax.block_until_ready(f(x0))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = float(f(x0))
+            best = min(best, (time.perf_counter() - t0) / reps)
+        point[name] = round(best * 1e6, 1)
     return point
 
 

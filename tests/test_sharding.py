@@ -200,3 +200,32 @@ def test_fused_epoch_data_parallel_matches_single_device():
         np.asarray(mps_forward(m_single, phi)),
         rtol=1e-7, atol=1e-9,
     )
+
+
+def test_dp_rangefinder_split_matches_single_device():
+    """The rangefinder split under GSPMD: an 8-way data-parallel sweep with
+    svd_method='rangefinder' must equal the single-device result (on a
+    mesh the XLA rangefinder path is used -- the fused Pallas kernel is
+    single-chip only, see ops/svd._pallas_split_applicable)."""
+    mps = _make_mps()
+    N = mps.N
+    B = 32
+    x = RNG.random((B, N))
+    y = RNG.integers(0, 2, B)
+    cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn, L2_flag=False,
+                      split_mode="canonical", svd_method="rangefinder")
+
+    phi = psi_embed(jnp.asarray(x))
+    y_onehot = jax.nn.one_hot(jnp.asarray(y), 2, dtype=jnp.float64).T
+    ref_mps, _, _, _ = sweep_once(mps, phi, y_onehot, 0.01, 1e-3, cfg)
+
+    mesh = make_mesh()
+    trainer = ShardedTrainer(mesh, mps, lr=0.01, weight_dec=1e-3, cfg=cfg)
+    trainer.step(x, y)
+
+    phi_probe = psi_embed(jnp.asarray(RNG.random((8, N))))
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(trainer.mps, phi_probe)),
+        np.asarray(mps_forward(ref_mps, phi_probe)),
+        rtol=1e-6, atol=1e-8,
+    )
