@@ -9,6 +9,7 @@ import pytest
 @pytest.mark.parametrize("script", [
     "examples/02_fused_epoch_and_serving.py",
     "examples/03_data_parallel_mesh.py",
+    "examples/05_production_recipe.py",
 ])
 def test_example_runs(script, capsys):
     runpy.run_path(script, run_name="__main__")

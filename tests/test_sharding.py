@@ -229,3 +229,33 @@ def test_dp_rangefinder_split_matches_single_device():
         np.asarray(mps_forward(ref_mps, phi_probe)),
         rtol=1e-6, atol=1e-8,
     )
+
+
+def test_hybrid_mesh_bond_sharded_rangefinder():
+    """Bond-TP + DP with the rangefinder split: the distributed split
+    falls out of GSPMD (the Gram over the column-sharded two-site tensor
+    becomes a psum; the small subspace problem is replicated)."""
+    mps = _make_mps(N=12, M=8)
+    mesh = make_mesh(shape=(4, 2))
+    B = 16
+    x = RNG.random((B, mps.N))
+    y = RNG.integers(0, 2, B)
+    cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn, L2_flag=False,
+                      split_mode="canonical", svd_method="rangefinder")
+
+    phi = psi_embed(jnp.asarray(x))
+    y_onehot = jax.nn.one_hot(jnp.asarray(y), 2, dtype=jnp.float64).T
+    ref_mps, _, _, _ = sweep_once(mps, phi, y_onehot, 0.01, 1e-3, cfg)
+
+    trainer = ShardedTrainer(mesh, mps, lr=0.01, weight_dec=1e-3,
+                             shard_bonds=True, cfg=cfg)
+    trainer.step(x, y)
+    phi_probe = psi_embed(jnp.asarray(RNG.random((8, mps.N))))
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(trainer.mps, phi_probe)),
+        np.asarray(mps_forward(ref_mps, phi_probe)),
+        rtol=1e-6, atol=1e-8,
+    )
+    assert trainer.mps.sites.sharding.is_equivalent_to(
+        site_sharding(mesh), ndim=4
+    )
