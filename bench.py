@@ -284,7 +284,9 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
     args = (mps.sites, mps.label_site, phi, y, lr, wd, ranks, mps.T, cfg,
             False)
     out = _sweep_jit(*args)
-    jax.block_until_ready(out[0])  # compile + warm
+    _ = float(jnp.sum(out[0]))  # compile + warm (host fetch: through the
+    # tunnel block_until_ready may return once dispatches are QUEUED; only
+    # a fetch proves execution -- CLAUDE.md)
     # pipelined reps, best of 2 trials (the device link is noisy)
     sweep_s = float("inf")
     for _ in range(2):
@@ -294,7 +296,7 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
             sites, label, *_ = _sweep_jit(
                 sites, label, phi, y, lr, wd, ranks, mps.T, cfg, False
             )
-        jax.block_until_ready(sites)
+        _ = float(jnp.sum(sites))
         sweep_s = min(sweep_s, (time.perf_counter() - t0) / reps)
 
     flops = analytic_sweep_flops(N=N, M=M, D=2, L=L, B=B, l2=False)

@@ -77,9 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "the TPU-fast subspace split, ~3x faster sweeps "
                         "with equivalent accuracy; svd is the exact split")
     p.add_argument("--trainer", type=str, default="twosite",
-                   choices=["twosite", "onesite"],
+                   choices=["twosite", "onesite", "brickwall"],
                    help="onesite: SVD-free boundary-label sweeps (~7x "
-                        "faster steps; recommended with --full)")
+                        "faster steps; recommended with --full). "
+                        "brickwall: all two-site pair updates in a layer "
+                        "batched on the MXU (train/brickwall.py) -- O(1) "
+                        "update depth per sweep instead of N-1 sequential "
+                        "steps")
     return p
 
 
@@ -162,7 +166,7 @@ def main(argv=None):
 
     x_cal, _ = next(train_loader.batches())
 
-    if args.trainer == "onesite":
+    if args.trainer in ("onesite", "brickwall"):
         from tensornetworkforml_tpu.models.boundary import (
             boundary_product_init,
         )
@@ -173,18 +177,38 @@ def main(argv=None):
             act_fn=args.act_fn, loss_fn=args.loss_fn, dtype=jnp.float32,
             calibration_x=x_cal[:256],
         )
-        base_lr = args.lr if args.lr is not None else (
-            0.05 if long_chain else 0.2
-        )
-        # per-SWEEP geometric decay holds the fit once reached (measured:
-        # stable 1.0 at N=784 across epochs; constant lr overshoots to 0.3)
-        decay = 0.3 ** (1.0 / 15.0) if long_chain else 1.0
-        model, val_acc = train_boundary_model(
-            model, train_loader, val_loader, lr=base_lr,
-            n_epochs=args.n_epochs, weight_dec=args.weight_dec,
-            lr_sweep_decay=decay, verbose=True,
-            checkpoint_path=args.checkpoint, resume=args.resume,
-        )
+        if args.trainer == "brickwall":
+            from tensornetworkforml_tpu.train.brickwall import train_brickwall
+
+            if args.checkpoint:
+                raise SystemExit(
+                    "--checkpoint is not supported with --trainer brickwall"
+                )
+            # a brick layer takes K = N/2 SIMULTANEOUS clipped lr-relative
+            # pair steps with a shared stale output (block-Jacobi), so the
+            # stable rate needs lr*K <~ 0.25 -- much tighter than the
+            # sequential sweeps' self-correcting Gauss-Seidel dynamics
+            # (measured at N=196: lr=0.002 holds 1.0 val, 0.01 diverges;
+            # BENCH_NOTES.md)
+            base_lr = args.lr if args.lr is not None else min(0.02, 0.5 / N)
+            model, val_acc = train_brickwall(
+                model, train_loader, val_loader, lr=base_lr,
+                n_epochs=args.n_epochs, weight_dec=args.weight_dec,
+                verbose=True,
+            )
+        else:
+            base_lr = args.lr if args.lr is not None else (
+                0.05 if long_chain else 0.2
+            )
+            # per-SWEEP geometric decay holds the fit once reached (measured:
+            # stable 1.0 at N=784 across epochs; constant lr overshoots to 0.3)
+            decay = 0.3 ** (1.0 / 15.0) if long_chain else 1.0
+            model, val_acc = train_boundary_model(
+                model, train_loader, val_loader, lr=base_lr,
+                n_epochs=args.n_epochs, weight_dec=args.weight_dec,
+                lr_sweep_decay=decay, verbose=True,
+                checkpoint_path=args.checkpoint, resume=args.resume,
+            )
         # test accuracy via the boundary forward
         from tensornetworkforml_tpu.models.boundary import boundary_forward
         from tensornetworkforml_tpu.ops.embedding import psi_embed

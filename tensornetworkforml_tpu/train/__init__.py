@@ -19,6 +19,11 @@ from tensornetworkforml_tpu.train.onesite import (
     onesite_sweep,
     train_boundary_model,
 )
+from tensornetworkforml_tpu.train.brickwall import (
+    BrickConfig,
+    brick_sweep,
+    train_brickwall,
+)
 
 __all__ = [
     "SweepConfig",
@@ -34,4 +39,7 @@ __all__ = [
     "OneSiteConfig",
     "onesite_sweep",
     "train_boundary_model",
+    "BrickConfig",
+    "brick_sweep",
+    "train_brickwall",
 ]

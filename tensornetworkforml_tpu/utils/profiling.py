@@ -23,6 +23,21 @@ import jax
 import numpy as np
 
 
+def _device_sync(tree):
+    """Force execution of everything ``tree`` depends on.
+
+    ``jax.block_until_ready`` alone is not trustworthy through the axon
+    TPU tunnel (it can return once dispatches are merely QUEUED — measured
+    0.1 ms "waits" on chains of 18 ms sweeps); a host FETCH of one element
+    is the only proof of execution, so do both.
+    """
+    jax.block_until_ready(tree)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ravel"):
+            np.asarray(leaf.ravel()[:1])
+            break
+
+
 class Timer:
     """Accumulating named wall-clock scopes with device synchronisation."""
 
@@ -37,7 +52,7 @@ class Timer:
             yield
         finally:
             if sync is not None:
-                jax.block_until_ready(sync)
+                _device_sync(sync)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
@@ -104,28 +119,28 @@ def profile_model(
     phi_t = phi.transpose(1, 0, 2)
     bmat = jnp.asarray(rng.standard_normal((M * 2, L * 2 * M)), dtype=dtype)
 
-    # warm-up compilations
-    jax.block_until_ready(mps_forward(mps, phi))
+    # warm-up compilations (fetch-synced: see _device_sync)
+    _device_sync(mps_forward(mps, phi))
     m2, *_ = sweep_once(mps, phi, y, 0.01, 1.0, cfg)
     m3, *_ = sweep_once(m2, phi, y, 0.01, 1.0, cfg)
-    jax.block_until_ready(m3.sites)
-    jax.block_until_ready(right_env_stack_fused(mps.sites, phi_t, e0))
-    jax.block_until_ready(truncated_svd_split(bmat, M))
+    _device_sync(m3.sites)
+    _device_sync(right_env_stack_fused(mps.sites, phi_t, e0))
+    _device_sync(truncated_svd_split(bmat, M))
 
     timer = Timer()
     for _ in range(iters):
         with timer.scope("forward"):
             out = mps_forward(mps, phi)
-            jax.block_until_ready(out)
+            _device_sync(out)
         with timer.scope("full_sweep"):
             m2, *_ = sweep_once(mps, phi, y, 0.01, 1.0, cfg)
-            jax.block_until_ready(m2.sites)
+            _device_sync(m2.sites)
         with timer.scope("env_stack"):
             envs = right_env_stack_fused(mps.sites, phi_t, e0)
-            jax.block_until_ready(envs)
+            _device_sync(envs)
         with timer.scope("svd_split"):
             u, v = truncated_svd_split(bmat, M)
-            jax.block_until_ready(v)
+            _device_sync(v)
     return timer.summary()
 
 

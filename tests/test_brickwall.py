@@ -1,0 +1,247 @@
+"""Brick-wall parallel-bond trainer tests: the batched layer equals a
+per-pair loop, the pair gradient is the true loss gradient, the renorm is
+function-preserving, and the trainer learns the diagonals task."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tensornetworkforml_tpu.data.diagonals import create_dataset
+from tensornetworkforml_tpu.models.boundary import (
+    boundary_forward,
+    boundary_product_init,
+)
+from tensornetworkforml_tpu.models.mps import apply_act_fn, loss_derivative
+from tensornetworkforml_tpu.ops.embedding import psi_embed
+from tensornetworkforml_tpu.ops.svd import _rangefinder_split
+from tensornetworkforml_tpu.train.brickwall import (
+    BrickConfig,
+    _brick_layer,
+    brick_sweep,
+    train_brickwall,
+)
+
+RNG = np.random.default_rng(417)
+
+
+def _naive_envs(sites, w, phi):
+    """Loop-built left envs before each site (N,B,M) and labeled right
+    envs after each site (N,B,M,L)."""
+    N, M, D, _ = sites.shape
+    B = phi.shape[0]
+    L = w.shape[1]
+    L_all = np.zeros((N, B, M))
+    v = np.zeros((B, M))
+    v[:, 0] = 1.0
+    for n in range(N):
+        L_all[n] = v
+        v = np.einsum("bl,bd,ldr->br", v, phi[:, n], sites[n])
+    R_all = np.zeros((N, B, M, L))
+    R = np.broadcast_to(w, (B, M, L)).copy()
+    R_all[N - 1] = R
+    for n in range(N - 2, -1, -1):
+        R = np.einsum("ldr,bd,bro->blo", sites[n + 1], phi[:, n + 1], R)
+        R_all[n] = R
+    return L_all, R_all, v
+
+
+def test_brick_layer_matches_per_pair_loop():
+    # N=9 covers the ragged ends: the even layer rests site 8, the odd
+    # layer rests site 0
+    N, M, D, L, B = 9, 4, 2, 3, 16
+    key = jax.random.PRNGKey(0)
+    model = boundary_product_init(key, N=N, M=M, L=L, dtype=jnp.float64,
+                                  noise=0.2)
+    x = RNG.random((B, N))
+    phi = np.asarray(psi_embed(jnp.asarray(x)))
+    y = RNG.integers(0, L, B)
+    y1h = np.zeros((L, B))
+    y1h[y, np.arange(B)] = 1.0
+
+    cfg = BrickConfig(act_fn="linear", loss_fn="MSE", renorm=False)
+    lr, wd = 0.05, 1e-3
+    w = np.asarray(model.w)
+
+    for parity in (0, 1):
+        sites = np.asarray(model.sites)
+        got, _, metrics = _brick_layer(
+            jnp.asarray(sites), jnp.asarray(w),
+            jnp.asarray(phi).transpose(1, 0, 2),
+            jnp.asarray(y1h), lr, wd, parity, cfg, model.T,
+        )
+        got = np.asarray(got)
+
+        # oracle: explicit per-pair loop with naive environments
+        L_all, R_all, l_full = _naive_envs(sites, w, phi)
+        f = (l_full @ w).T
+        f_act = np.asarray(apply_act_fn(jnp.asarray(f), "linear", model.T))
+        loss_der = np.asarray(
+            loss_derivative(jnp.asarray(f_act), jnp.asarray(y1h), "MSE",
+                            "linear", model.T)
+        )
+        want = sites.copy()
+        for p in range(parity, N - 1, 2):
+            B_t = np.einsum("aim,mjc->aijc", sites[p], sites[p + 1])
+            u = np.einsum("ob,bco->bc", loss_der, R_all[p + 1])
+            dB = np.einsum("ba,bi,bj,bc->aijc", L_all[p], phi[:, p],
+                           phi[:, p + 1], u)
+            dB = dB - wd * B_t
+            s_B, s_dB = np.abs(B_t).sum(), np.abs(dB).sum()
+            if s_dB > s_B:
+                dB = dB * (s_B / s_dB)
+            B_new = B_t + lr * dB
+            q, r = _rangefinder_split(
+                jnp.asarray(B_new.reshape(M * D, D * M)), M,
+                split_mode="canonical",
+            )
+            want[p] = np.asarray(q).reshape(M, D, M)
+            want[p + 1] = np.asarray(r).reshape(M, D, M)
+
+        np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10,
+                                   err_msg=f"parity={parity}")
+        assert np.isfinite(float(metrics["accuracy"]))
+
+
+def test_pair_gradient_is_autodiff_gradient():
+    """The layer's pre-clip pair update direction equals minus the autodiff
+    gradient of the summed MSE loss with respect to the merged pair."""
+    N, M, D, L, B = 6, 3, 2, 2, 8
+    model = boundary_product_init(jax.random.PRNGKey(2), N=N, M=M, L=L,
+                                  dtype=jnp.float64, noise=0.3)
+    x = RNG.random((B, N))
+    phi = jnp.asarray(np.asarray(psi_embed(jnp.asarray(x))))
+    y = RNG.integers(0, L, B)
+    y1h = np.zeros((L, B))
+    y1h[y, np.arange(B)] = 1.0
+    y1h = jnp.asarray(y1h)
+    sites, w = model.sites, model.w
+    p = 2  # an interior even pair
+
+    def loss_of_pair(B_pair):
+        def fwd(b):
+            v = jnp.zeros((M,), dtype=jnp.float64).at[0].set(1.0)
+            for n in (0, 1):
+                v = jnp.einsum("l,d,ldr->r", v, phi[b, n], sites[n])
+            v = jnp.einsum("l,i,j,lijr->r", v, phi[b, p], phi[b, p + 1],
+                           B_pair)
+            for n in (4, 5):
+                v = jnp.einsum("l,d,ldr->r", v, phi[b, n], sites[n])
+            return v @ w
+
+        f = jax.vmap(fwd)(jnp.arange(B)).T  # (L, B)
+        return 0.5 * jnp.sum((y1h - f) ** 2)
+
+    B_pair = jnp.einsum("aim,mjc->aijc", sites[p], sites[p + 1])
+    auto = jax.grad(loss_of_pair)(B_pair)
+
+    # the layer's analytic direction (MSE + linear: loss_der = y - f)
+    L_all, R_all, l_full = _naive_envs(
+        np.asarray(sites), np.asarray(w), np.asarray(phi)
+    )
+    f = (l_full @ np.asarray(w)).T
+    loss_der = np.asarray(y1h) - f
+    u = np.einsum("ob,bco->bc", loss_der, R_all[p + 1])
+    dB = np.einsum("ba,bi,bj,bc->aijc", L_all[p], np.asarray(phi)[:, p],
+                   np.asarray(phi)[:, p + 1], u)
+
+    np.testing.assert_allclose(dB, -np.asarray(auto), rtol=1e-9, atol=1e-11)
+
+
+def test_renorm_is_function_preserving():
+    N, M, L, B = 10, 4, 3, 12
+    model = boundary_product_init(jax.random.PRNGKey(5), N=N, M=M, L=L,
+                                  dtype=jnp.float64, noise=0.2)
+    x = RNG.random((B, N))
+    phi = jnp.asarray(np.asarray(psi_embed(jnp.asarray(x))))
+    y1h = jnp.asarray(np.eye(L)[RNG.integers(0, L, B)].T)
+    phi_t = phi.transpose(1, 0, 2)
+
+    plain, g_plain, _ = _brick_layer(
+        model.sites, model.w, phi_t, y1h, 0.1, 0.0, 0,
+        BrickConfig(renorm=False), model.T,
+    )
+    renormed, g, _ = _brick_layer(
+        model.sites, model.w, phi_t, y1h, 0.1, 0.0, 0,
+        BrickConfig(renorm=True), model.T,
+    )
+    assert float(g_plain) == 1.0
+    f_plain = boundary_forward(model.replace(sites=plain), phi)
+    f_renorm = boundary_forward(
+        model.replace(sites=renormed, w=model.w * g), phi
+    )
+    np.testing.assert_allclose(
+        np.asarray(f_plain), np.asarray(f_renorm), rtol=1e-9, atol=1e-11
+    )
+    # every right factor really is at isometry-scale norm
+    for p in range(1, N, 2):
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(renormed[p])), np.sqrt(M), rtol=1e-9
+        )
+
+
+def test_brickwall_learns_diagonals():
+    n, dim = 512, 4
+    data, labels = create_dataset(n, dim, 0.5, seed=11)
+    x = data.reshape(n, -1)
+    model = boundary_product_init(
+        jax.random.PRNGKey(3), N=dim * dim, M=8, L=2, act_fn="linear",
+        loss_fn="MSE", dtype=jnp.float64, calibration_x=x[:128],
+    )
+
+    class Loader:
+        def __init__(self, x, y, b):
+            self.x, self.y, self.b = x, y, b
+
+        def batches(self):
+            for i in range(len(self.x) // self.b):
+                s = slice(i * self.b, (i + 1) * self.b)
+                yield self.x[s], self.y[s]
+
+    model, val_acc = train_brickwall(
+        model, Loader(x[:384], labels[:384], 64),
+        Loader(x[384:], labels[384:], 64), lr=0.02, n_epochs=3,
+        weight_dec=1e-5,
+    )  # a layer takes K clipped lr-relative pair steps: keep lr ~ O(1/K)
+    assert val_acc[-1] >= 0.95, val_acc
+
+
+def test_brick_epoch_equals_per_batch_loop():
+    from tensornetworkforml_tpu.train.brickwall import brick_epoch
+
+    N, M, L, B, nb = 8, 4, 3, 8, 3
+    model = boundary_product_init(jax.random.PRNGKey(9), N=N, M=M, L=L,
+                                  dtype=jnp.float64, noise=0.1)
+    x_ep = RNG.random((nb, B, N))
+    y_ep = RNG.integers(0, L, (nb, B))
+
+    fused, metrics = brick_epoch(model, x_ep, y_ep, 0.05, 1e-4)
+    assert metrics["accuracy"].shape == (nb,)
+
+    looped = model
+    cfg = BrickConfig(act_fn=model.act_fn, loss_fn=model.loss_fn)
+    for i in range(nb):
+        phi = psi_embed(jnp.asarray(x_ep[i]))
+        y1h = jnp.asarray(np.eye(L)[y_ep[i]].T)
+        looped, _ = brick_sweep(looped, phi, y1h, 0.05, 1e-4, cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(fused.sites), np.asarray(looped.sites), rtol=1e-9,
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.w), np.asarray(looped.w), rtol=1e-9, atol=1e-11
+    )
+
+
+def test_brick_sweep_shapes_and_finite():
+    N, M, L, B = 9, 4, 3, 8  # odd N: trailing site rests in the even layer
+    model = boundary_product_init(jax.random.PRNGKey(7), N=N, M=M, L=L,
+                                  dtype=jnp.float64, noise=0.1)
+    x = RNG.random((B, N))
+    phi = jnp.asarray(np.asarray(psi_embed(jnp.asarray(x))))
+    y1h = jnp.asarray(np.eye(L)[RNG.integers(0, L, B)].T)
+    out, metrics = brick_sweep(model, phi, y1h, 0.05, 1e-4)
+    assert out.sites.shape == model.sites.shape
+    assert np.isfinite(np.asarray(out.sites)).all()
+    assert np.isfinite(np.asarray(out.w)).all()
+    assert np.isfinite(float(metrics["MAE"]))
