@@ -224,6 +224,10 @@ def main():
             result["inference"] = _inference_point(jax, jnp, dtype)
         except Exception as e:
             result["inference_error"] = f"{type(e).__name__}: {e}"
+        try:
+            result["brickwall"] = _brickwall_point(jax, jnp, dtype)
+        except Exception as e:
+            result["brickwall_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(result))
 
@@ -310,6 +314,42 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
     if jax.default_backend() == "tpu":
         point["mfu"] = round(flops / sweep_s / V5E_PEAK_FLOPS, 5)
     return point
+
+
+def _brickwall_point(jax, jnp, dtype, N=196, M=32, L=10, B=256, reps=12):
+    """Brick-wall parallel-bond sweep (train/brickwall.py): every bond
+    updated once per sweep like the sequential engines, but as two batched
+    layers (O(1) update depth). Chained dispatches, host-fetch sync."""
+    from tensornetworkforml_tpu.models.boundary import boundary_product_init
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+    from tensornetworkforml_tpu.train.brickwall import BrickConfig, _brick_jit
+
+    rng = np.random.default_rng(0)
+    x = rng.random((B, N)).astype(np.float32)
+    phi = psi_embed(jnp.asarray(x, dtype=dtype))
+    y1h = jnp.asarray(np.eye(L, dtype=np.float32)[rng.integers(0, L, B)].T,
+                      dtype=dtype)
+    lr = jnp.asarray(0.002, dtype)
+    wd = jnp.asarray(1e-5, dtype)
+    model = boundary_product_init(jax.random.PRNGKey(0), N=N, M=M, L=L,
+                                  dtype=dtype, calibration_x=x)
+    cfg = BrickConfig(act_fn="linear", loss_fn="MSE")
+    out = _brick_jit(model.sites, model.w, phi, y1h, lr, wd, model.T, cfg)
+    _ = float(jnp.sum(out[0]))
+    best = float("inf")
+    for _ in range(2):
+        s, w = model.sites, model.w
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            s, w, _m = _brick_jit(s, w, phi, y1h, lr, wd, model.T, cfg)
+        _ = float(jnp.sum(s))
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return {
+        "config": f"N={N} M={M} L={L} B={B} brick-wall sweep "
+                  f"(2 batched layers, cholqr splits)",
+        "sweep_ms": round(best * 1e3, 2),
+        "bond_update_us": round(best / (N - 1) * 1e6, 1),
+    }
 
 
 def _inference_point(jax, jnp, dtype, N=196, M=64, L=10, B=256, reps=50):

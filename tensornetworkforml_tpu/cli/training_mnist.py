@@ -72,7 +72,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "epoch restores the small-batch basin (measured "
                         "spread at B=256: 0.20 -> 0.04 across seeds)")
     p.add_argument("--svd_method", type=str, default="rangefinder",
-                   choices=["svd", "rangefinder", "cholsvd"],
+                   choices=["svd", "rangefinder", "cholsvd", "cholqr"],
                    help="two-site split backend: rangefinder (default) is "
                         "the TPU-fast subspace split, ~3x faster sweeps "
                         "with equivalent accuracy; svd is the exact split")

@@ -17,6 +17,17 @@ Backends:
     (forcing full matmul precision and Newton-Schulz re-orthonormalisation
     do not rescue it), while the identical code trains to 100% on CPU
     float32. Use on CPU/float64; ``"svd"`` is the correct TPU default.
+  * ``"rangefinder"`` -- randomized subspace split (canonical mode only):
+    sketch + Rayleigh-Ritz + QR-polished subspace iteration. The TPU-fast
+    production split for canonical sweeps; auto-dispatches to the fused
+    Pallas kernel for I >= 128.
+  * ``"cholqr"`` -- matmul/Cholesky-only subspace split (canonical mode
+    only): exact-rank sketch + CholQR-orthonormalized power iterations
+    (``batched_cholqr_split``). No qr/eigh/svd lowering at all; built for
+    batched use (brick-wall layers) and as a latency-minimal sequential
+    split.
+  * ``"cholsvd"`` -- SVD of the Cholesky factor of ``B B^T`` (true
+    singular values from a small square SVD).
 """
 
 from __future__ import annotations
@@ -75,6 +86,15 @@ def truncated_svd_split(
         return _gram_split(bmat, rank, keep, split_mode)
     elif method == "cholsvd":
         return _chol_svd_split(bmat, rank, keep, split_mode)
+    elif method == "cholqr":
+        if split_mode != "canonical":
+            raise ValueError("cholqr split requires split_mode='canonical'")
+        if keep is not None:
+            raise ValueError(
+                "cholqr split does not support rank_mode='reference'"
+            )
+        q, r = batched_cholqr_split(bmat[None], rank)
+        return q[0], r[0]
     elif method == "rangefinder":
         # auto-dispatch: above the crossover the fused Pallas kernel beats
         # the XLA qr/eigh chain (whose latency grows badly with size):
@@ -222,6 +242,76 @@ def _rangefinder_split(
             q = q / jnp.maximum(norms, 1e-30)
             q, _ = jnp.linalg.qr(q)
         return q, q.T @ bmat
+
+
+def batched_cholqr_split(
+    bmats: jnp.ndarray,
+    rank: int,
+    n_power: int = 3,
+    eps: float = None,
+):
+    """Batched canonical splits with NO qr/eigh/svd anywhere: Gaussian
+    sketch at exact ``rank`` + CholQR-orthonormalized power iterations +
+    a final CholQR2 pass. ``bmats (K, I, J)`` -> ``(Q (K, I, rank),
+    Q^T B (K, rank, J))``.
+
+    Built for the brick-wall trainer (``train/brickwall.py``), which needs
+    K = N/2 independent splits per layer: vmapping the XLA rangefinder
+    pays a batched qr+eigh chain (measured 11.3 ms for K=98 splits of
+    (64, 64) at M=32; 73 ms at M=128), while this path is matmuls +
+    batched Cholesky + batched triangular solves only -- 3.3 ms / 4 ms on
+    the same workloads with equivalent subspace capture (min 1-2e-7 on
+    real mid-training tensors, whose spectra gap hard at the bond
+    dimension: median sigma_{rank+1}/sigma_rank = 0.004).
+
+    Numerics: every iterate is column-normalized then CholQR'd with a
+    trace-scaled ridge, so rank-deficient pairs are safe -- dead
+    directions come out CONTRACTED (|Q_col| < 1), never as junk unit
+    columns (same semantics as the ridged Newton-Schulz in the Pallas
+    kernel). Oversampling + Rayleigh-Ritz are deliberately absent: with a
+    hard spectral gap the power iterations alone order the subspace, and
+    oversampled trailing columns decay to noise that breaks the batched
+    Cholesky (measured: the oversampled+RR variant NaNs).
+
+    Replaces, for the brick layer only, the per-step exact SVD of the
+    reference (``Network_class.py:887``).
+    """
+    import jax
+
+    K, I, J = bmats.shape
+    if eps is None:
+        eps = 1e-7 if bmats.dtype != jnp.float64 else 1e-14
+    ee = jnp.eye(min(rank, I), dtype=bmats.dtype)
+
+    def colnorm(y):
+        return y / jnp.maximum(
+            jnp.linalg.norm(y, axis=-2, keepdims=True), 1e-30
+        )
+
+    def cholqr(y):
+        w = jnp.einsum("kiq,kip->kqp", y, y)
+        scale = jnp.max(jnp.diagonal(w, axis1=-2, axis2=-1), axis=-1)
+        scale = jnp.maximum(scale, 1e-30)
+        c = jnp.linalg.cholesky(w + (eps * scale)[:, None, None] * ee)
+        return jax.lax.linalg.triangular_solve(
+            c, y, left_side=False, lower=True, transpose_a=True
+        )
+
+    with jax.default_matmul_precision("float32"):
+        # Frobenius prescale per pair (same rationale as _rangefinder_split)
+        bn = jnp.maximum(
+            jnp.sqrt(jnp.sum(bmats * bmats, axis=(-2, -1), keepdims=True)),
+            1e-30,
+        )
+        bs = bmats / bn
+        om = _rangefinder_omega(J, min(rank, I), bmats.dtype)
+        y = jnp.einsum("kij,jq->kiq", bs, om)
+        g = jnp.einsum("kij,klj->kil", bs, bs)  # (K, I, I) Gram, formed once
+        for _ in range(n_power):
+            y = cholqr(colnorm(y))
+            y = jnp.einsum("kil,klq->kiq", g, y)
+        q = cholqr(cholqr(colnorm(y)))
+        return q, jnp.einsum("kim,kij->kmj", q, bmats)
 
 
 def _chol_svd_split(

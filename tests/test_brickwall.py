@@ -58,7 +58,9 @@ def test_brick_layer_matches_per_pair_loop():
     y1h = np.zeros((L, B))
     y1h[y, np.arange(B)] = 1.0
 
-    cfg = BrickConfig(act_fn="linear", loss_fn="MSE", renorm=False)
+    # rangefinder split: exact per-pair match to the oracle's split calls
+    cfg = BrickConfig(act_fn="linear", loss_fn="MSE", renorm=False,
+                      split_method="rangefinder")
     lr, wd = 0.05, 1e-3
     w = np.asarray(model.w)
 
@@ -231,6 +233,84 @@ def test_brick_epoch_equals_per_batch_loop():
     np.testing.assert_allclose(
         np.asarray(fused.w), np.asarray(looped.w), rtol=1e-9, atol=1e-11
     )
+
+
+def test_batched_cholqr_split_quality():
+    """Isometry + near-optimal capture on gapped spectra (the measured
+    brick regime: sigma_{M+1}/sigma_M ~ 0.004), and contraction -- not
+    junk -- on rank-deficient pairs."""
+    from tensornetworkforml_tpu.ops.svd import batched_cholqr_split
+
+    K, I, J, rank = 12, 16, 16, 8
+    rng = np.random.default_rng(0)
+    mats = []
+    for k in range(K):
+        u, _ = np.linalg.qr(rng.standard_normal((I, I)))
+        v, _ = np.linalg.qr(rng.standard_normal((J, J)))
+        s = np.concatenate([
+            np.sort(rng.random(rank))[::-1] + 1.0,
+            1e-3 * rng.random(min(I, J) - rank),
+        ])
+        mats.append((u[:, : len(s)] * s) @ v[: len(s), :])
+    mats[-1] = mats[-1][:, :].copy()
+    mats[-1][:, :] = 0.0
+    mats[-1][:2, :2] = np.eye(2)  # rank-2 < rank: deficient pair
+    bmats = jnp.asarray(np.stack(mats))
+
+    q, r = batched_cholqr_split(bmats, rank)
+    q = np.asarray(q)
+    r = np.asarray(r)
+
+    # full-rank pairs: exact isometry and capture within 1e-6 of optimal
+    for k in range(K - 1):
+        np.testing.assert_allclose(
+            q[k].T @ q[k], np.eye(rank), atol=1e-9
+        )
+        svals = np.linalg.svd(mats[k], compute_uv=False)
+        opt = (svals[:rank] ** 2).sum()
+        cap = ((q[k].T @ mats[k]) ** 2).sum()
+        assert cap >= (1 - 1e-6) * opt, (k, cap / opt)
+        # the split reproduces the pair: Q (Q^T B) ~ B up to truncation
+        np.testing.assert_allclose(
+            q[k] @ r[k], mats[k], atol=2e-3
+        )
+    # deficient pair: live directions captured, dead columns CONTRACT
+    qd = q[-1]
+    col_norms = np.linalg.norm(qd, axis=0)
+    assert (col_norms <= 1.0 + 1e-9).all()
+    cap = ((qd.T @ mats[-1]) ** 2).sum()
+    assert cap >= (1 - 1e-6) * 2.0  # both live directions kept
+
+
+def test_sharded_brick_step_matches_single_device():
+    from tensornetworkforml_tpu.parallel.mesh import make_mesh
+    from tensornetworkforml_tpu.train.brickwall import (
+        make_sharded_brick_step,
+    )
+
+    N, M, L, B = 12, 4, 3, 32  # B divisible by the 8 virtual devices
+    model = boundary_product_init(jax.random.PRNGKey(4), N=N, M=M, L=L,
+                                  dtype=jnp.float64, noise=0.2)
+    x = RNG.random((B, N))
+    phi = jnp.asarray(np.asarray(psi_embed(jnp.asarray(x))))
+    y1h = jnp.asarray(np.eye(L)[RNG.integers(0, L, B)].T)
+    cfg = BrickConfig(act_fn=model.act_fn, loss_fn=model.loss_fn)
+
+    single, _ = brick_sweep(model, phi, y1h, 0.05, 1e-4, cfg)
+
+    mesh = make_mesh()  # all 8 virtual devices on the data axis
+    step = make_sharded_brick_step(mesh, model.T, cfg)
+    lr = jnp.asarray(0.05, jnp.float64)
+    wd = jnp.asarray(1e-4, jnp.float64)
+    sites_sh, w_sh, metrics = step(model.sites, model.w, phi, y1h, lr, wd)
+
+    np.testing.assert_allclose(
+        np.asarray(sites_sh), np.asarray(single.sites), rtol=1e-9, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(w_sh), np.asarray(single.w), rtol=1e-9, atol=1e-11
+    )
+    assert np.isfinite(float(metrics["accuracy"]))
 
 
 def test_brick_sweep_shapes_and_finite():

@@ -10,6 +10,7 @@ import pytest
     "examples/02_fused_epoch_and_serving.py",
     "examples/03_data_parallel_mesh.py",
     "examples/05_production_recipe.py",
+    "examples/06_brickwall_parallel_bonds.py",
 ])
 def test_example_runs(script, capsys):
     runpy.run_path(script, run_name="__main__")

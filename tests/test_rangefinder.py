@@ -102,3 +102,67 @@ def test_rangefinder_training_equals_svd_quality():
         accs[method] = val_acc[-1]
     assert accs["rangefinder"] >= 0.95
     assert abs(accs["rangefinder"] - accs["svd"]) <= 0.05
+
+
+@pytest.mark.parametrize("scale", [1.0, 1e10, 1e-8])
+def test_cholqr_isometry_and_capture(scale):
+    I, J, rank = 64, 640, 32
+    b = jnp.asarray(_gapped_matrix(I, J, rank, scale=scale))
+    q, r = truncated_svd_split(b, rank, "cholqr", split_mode="canonical")
+    q = np.asarray(q)
+    np.testing.assert_allclose(q.T @ q, np.eye(rank), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(r), q.T @ np.asarray(b), rtol=0,
+                               atol=1e-6 * scale)
+    s = np.linalg.svd(np.asarray(b), compute_uv=False)
+    e_opt = (s[:rank] ** 2).sum()
+    e_q = np.linalg.norm(q.T @ np.asarray(b)) ** 2
+    assert e_q / e_opt > 1 - 1e-6
+
+
+def test_cholqr_matches_svd_function():
+    I, J, rank = 32, 320, 16
+    b = jnp.asarray(_gapped_matrix(I, J, rank, seed=3))
+    q, r = truncated_svd_split(b, rank, "cholqr", split_mode="canonical")
+    u, svh = truncated_svd_split(b, rank, "svd", split_mode="canonical")
+    np.testing.assert_allclose(
+        np.asarray(q @ r), np.asarray(u @ svh), atol=1e-8
+    )
+
+
+def test_cholqr_rejects_unsupported_modes():
+    b = jnp.ones((8, 16))
+    with pytest.raises(ValueError, match="canonical"):
+        truncated_svd_split(b, 4, "cholqr", split_mode="shared")
+    with pytest.raises(ValueError, match="reference"):
+        truncated_svd_split(b, 4, "cholqr", keep=jnp.asarray(2),
+                            split_mode="canonical")
+
+
+def test_cholqr_training_equals_svd_quality():
+    """End-to-end: canonical two-site training with the matmul/Cholesky-only
+    split reaches the same accuracy as exact-SVD splits."""
+    from tensornetworkforml_tpu.data.diagonals import create_dataset
+    from tensornetworkforml_tpu.data.loader import prepare_dataset
+    from tensornetworkforml_tpu.models.mps import product_init
+    from tensornetworkforml_tpu.train.trainer import train_model
+
+    data, labels = create_dataset(400, 6, sigma=0.5, seed=0)
+    accs = {}
+    for method in ("svd", "cholqr"):
+        train_loader, val_loader, _ = prepare_dataset(
+            data.reshape(len(data), -1), labels, 0.8, 0.2,
+            train_batch_size=32, val_batch_size=64, test_batch_size=64,
+            embed=False, seed=0,
+        )
+        x_cal, _ = next(train_loader.batches())
+        mps = product_init(jax.random.PRNGKey(0), N=36, M=8, L=2,
+                           act_fn="linear", loss_fn="MSE",
+                           dtype=jnp.float64, calibration_x=x_cal)
+        _, val_acc, _ = train_model(
+            mps, train_loader, val_loader, lr=0.1, n_epochs=2,
+            weight_dec=1e-5, L2_flag=False, split_mode="canonical",
+            svd_method=method, verbose=False,
+        )
+        accs[method] = val_acc[-1]
+    assert accs["cholqr"] >= 0.95
+    assert abs(accs["cholqr"] - accs["svd"]) <= 0.05
