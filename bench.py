@@ -215,7 +215,8 @@ def main():
     # split and for the TPU-fast rangefinder split (ops/svd.py).
     if not args.skip_high_m:
         for key, method in (("high_m", "svd"),
-                            ("high_m_rangefinder", "rangefinder")):
+                            ("high_m_rangefinder", "rangefinder"),
+                            ("high_m_cholqr", "cholqr")):
             try:
                 result[key] = _high_m_point(jax, jnp, dtype, method=method)
             except Exception as e:  # never lose the headline to extras

@@ -280,13 +280,31 @@ def batched_cholqr_split(
 
     K, I, J = bmats.shape
     if eps is None:
-        eps = 1e-7 if bmats.dtype != jnp.float64 else 1e-14
+        # The ridge must dominate the Cholesky's ROUNDOFF on the (unit-
+        # diagonal) Gram of normalized columns, or rank-deficient batches
+        # (e.g. the traveling-label chain's zero-padded edge tensors, rank
+        # as low as 2 with q ~ 2M columns) make trailing pivots negative
+        # and the factorization NaNs -- q * machine-eps is ~1e-6 in f32,
+        # so 1e-7 is NOT a ridge there (measured: step-0 split NaNs).
+        eps = 1e-5 if bmats.dtype != jnp.float64 else 1e-12
     ee = jnp.eye(min(rank, I), dtype=bmats.dtype)
+    # columns this far below the batch's largest are DEAD directions
+    # (rank-deficient pairs, e.g. the traveling-label chain's zero-padded
+    # edge tensors). They must go to EXACTLY zero, not be normalized:
+    # dividing a numerically-zero column by the 1e-30 floor overflows
+    # float32 to Inf and NaNs the Cholesky, and even when it survives, the
+    # inflated noise column leaks weight into bond slots the padded
+    # representation needs zero (f32 training collapses -- measured).
+    # Zero columns ride through cholqr as zeros (the ridge keeps W PD and
+    # the solve returns zero columns), so Q keeps the live isometry block
+    # plus exact-zero dead slots -- the same contract as the masked SVD.
+    dead_tol = 1e-6 if bmats.dtype != jnp.float64 else 1e-12
 
     def colnorm(y):
-        return y / jnp.maximum(
-            jnp.linalg.norm(y, axis=-2, keepdims=True), 1e-30
-        )
+        n = jnp.linalg.norm(y, axis=-2, keepdims=True)
+        n_max = jnp.max(n, axis=-1, keepdims=True)
+        live = (n > dead_tol * n_max) & jnp.isfinite(n)
+        return jnp.where(live, y / jnp.maximum(n, 1e-30), 0.0)
 
     def cholqr(y):
         w = jnp.einsum("kiq,kip->kqp", y, y)
