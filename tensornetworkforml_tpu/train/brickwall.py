@@ -28,14 +28,16 @@ moderate learning rates. The model family is the boundary-label MPS
 (``models/boundary.py``): a traveling label leg would serialise the layer
 again, a fixed output projection does not.
 
-Scale discipline: pair splits are canonical (left factor isometric), and
-``renorm=True`` rescales every right factor to isometry-scale Frobenius
-norm, folding the product of scales into the output projection ``w`` --
-function-preserving, and it keeps every site tensor O(1) at any chain
-length. Like the sequential engines, clipped updates are lr-relative per
-pair, so a layer can grow the function by up to (1+lr)^K: keep
-lr ~ O(1/K) on long chains (same finding as the two-site N-scaled rate,
-BENCH_NOTES.md).
+Scale discipline: pair splits are canonical (isometric left factor), and
+``renorm=True`` re-balances each pair's weight EVENLY between its two
+factors (the reference's sqrt(S)-sharing, per pair) -- purely local and
+exactly function-preserving, so no tensor anywhere accumulates more than
+its own pair's weight at any chain length. (A global fold-into-w renorm
+was measured to overflow float32 at N=784: the product of K=392 per-pair
+scales is exponential in N.) Like the sequential engines, clipped updates
+are lr-relative per pair, so a layer can grow the function by up to
+(1+lr)^K: keep lr ~ O(1/K) on long chains (same finding as the two-site
+N-scaled rate, BENCH_NOTES.md).
 
 No reference analogue (the reference is sequential NumPy end to end);
 the per-pair update semantics follow its ``update_B``
@@ -63,8 +65,9 @@ class BrickConfig(NamedTuple):
     act_fn: str = "linear"
     loss_fn: str = "MSE"
     update_w: bool = True
-    # fold each pair's scale into w (function-preserving); keeps all site
-    # tensors O(1) regardless of chain length
+    # balance each pair's weight evenly between its two factors
+    # (function-preserving, local); keeps every site tensor bounded by its
+    # own pair's weight at any chain length
     renorm: bool = True
     # max fractional growth of sum|B| per pair update (0 = unlimited)
     growth_cap: float = 0.0
@@ -107,8 +110,7 @@ def _env_stacks(sites, w, phi_t, e0):
 def _brick_layer(sites, w, phi_t, y_onehot, lr, weight_dec, parity, cfg, T):
     """One brick-wall layer: batched two-site updates on all pairs starting
     at ``parity`` (0 = even bonds, 1 = odd bonds). Returns
-    ``(new_sites, w_scale, metrics)``; ``w_scale`` is the accumulated
-    function-preserving renorm factor to fold into ``w``."""
+    ``(new_sites, metrics)``."""
     N, M, D, _ = sites.shape
     dtype = sites.dtype
     K = (N - parity) // 2
@@ -163,18 +165,27 @@ def _brick_layer(sites, w, phi_t, y_onehot, lr, weight_dec, parity, cfg, T):
     A2_new = r.reshape(K, M, D, M).astype(dtype)
 
     if cfg.renorm:
-        # right factors carry all pair weight after a canonical split; pull
-        # each back to isometry-scale norm and fold the product into w
-        norms = jnp.sqrt(jnp.sum(A2_new**2, axis=(1, 2, 3)))
-        g = jnp.maximum(norms, 1e-30) / jnp.sqrt(jnp.asarray(M, dtype))
-        A2_new = A2_new / g[:, None, None, None]
-        w_scale = jnp.prod(g)
-    else:
-        w_scale = jnp.ones((), dtype=dtype)
+        # Balance each pair's scale between its two factors (the
+        # reference's sqrt(S)-sharing idea, Network_class.py:871, applied
+        # per pair): after a canonical split the right factor carries ALL
+        # pair weight rho_k, so raw splits transport weight rightward
+        # every layer, and the earlier fold-into-w variant accumulated
+        # prod(g_k) in the output projection -- exponential in N and
+        # measured to OVERFLOW float32 at N=784 (K=392 factors). Balancing
+        # is purely LOCAL: left = Q*s_k, right = right/s_k with
+        # s_k = sqrt(rho_k/sqrt(M)), so both factors get norm
+        # sqrt(rho_k*sqrt(M)), the function is exactly preserved, and no
+        # tensor anywhere absorbs more than its own pair's weight.
+        rho = jnp.sqrt(jnp.sum(A2_new**2, axis=(1, 2, 3)))
+        s = jnp.sqrt(
+            jnp.maximum(rho, 1e-30) / jnp.sqrt(jnp.asarray(M, dtype))
+        )
+        A1_new = A1_new * s[:, None, None, None]
+        A2_new = A2_new / s[:, None, None, None]
 
     new_sites = sites.at[lo:hi:2].set(A1_new).at[lo + 1 : hi : 2].set(A2_new)
     metrics = {"accuracy": acc, "MAE": mae}
-    return new_sites, w_scale, metrics
+    return new_sites, metrics
 
 
 def _w_update(sites, w, phi_t, y_onehot, lr, weight_dec, cfg, T, e0):
@@ -200,15 +211,13 @@ def _w_update(sites, w, phi_t, y_onehot, lr, weight_dec, cfg, T, e0):
 
 def _brick_sweep_body(sites, w, phi, y_onehot, lr, weight_dec, T, cfg):
     phi_t = phi.transpose(1, 0, 2)  # (N, B, D)
-    sites, g_even, metrics = _brick_layer(
+    sites, metrics = _brick_layer(
         sites, w, phi_t, y_onehot, lr, weight_dec, 0, cfg, T
     )
-    w = w * g_even
     if sites.shape[0] >= 3:  # the odd layer exists only past two sites
-        sites, g_odd, _ = _brick_layer(
+        sites, _ = _brick_layer(
             sites, w, phi_t, y_onehot, lr, weight_dec, 1, cfg, T
         )
-        w = w * g_odd
     if cfg.update_w:
         e0 = boundary_vector(sites.shape[1], dtype=sites.dtype)
         w = _w_update(sites, w, phi_t, y_onehot, lr, weight_dec, cfg, T, e0)

@@ -66,7 +66,7 @@ def test_brick_layer_matches_per_pair_loop():
 
     for parity in (0, 1):
         sites = np.asarray(model.sites)
-        got, _, metrics = _brick_layer(
+        got, metrics = _brick_layer(
             jnp.asarray(sites), jnp.asarray(w),
             jnp.asarray(phi).transpose(1, 0, 2),
             jnp.asarray(y1h), lr, wd, parity, cfg, model.T,
@@ -158,26 +158,24 @@ def test_renorm_is_function_preserving():
     y1h = jnp.asarray(np.eye(L)[RNG.integers(0, L, B)].T)
     phi_t = phi.transpose(1, 0, 2)
 
-    plain, g_plain, _ = _brick_layer(
+    plain, _ = _brick_layer(
         model.sites, model.w, phi_t, y1h, 0.1, 0.0, 0,
         BrickConfig(renorm=False), model.T,
     )
-    renormed, g, _ = _brick_layer(
+    renormed, _ = _brick_layer(
         model.sites, model.w, phi_t, y1h, 0.1, 0.0, 0,
         BrickConfig(renorm=True), model.T,
     )
-    assert float(g_plain) == 1.0
     f_plain = boundary_forward(model.replace(sites=plain), phi)
-    f_renorm = boundary_forward(
-        model.replace(sites=renormed, w=model.w * g), phi
-    )
+    f_renorm = boundary_forward(model.replace(sites=renormed), phi)
     np.testing.assert_allclose(
         np.asarray(f_plain), np.asarray(f_renorm), rtol=1e-9, atol=1e-11
     )
-    # every right factor really is at isometry-scale norm
-    for p in range(1, N, 2):
+    # the pair weight is balanced: both factors of each pair share the norm
+    for p in range(0, N - 1, 2):
         np.testing.assert_allclose(
-            float(jnp.linalg.norm(renormed[p])), np.sqrt(M), rtol=1e-9
+            float(jnp.linalg.norm(renormed[p])),
+            float(jnp.linalg.norm(renormed[p + 1])), rtol=1e-6
         )
 
 
