@@ -182,10 +182,6 @@ def main(argv=None):
         if args.trainer == "brickwall":
             from tensornetworkforml_tpu.train.brickwall import train_brickwall
 
-            if args.checkpoint:
-                raise SystemExit(
-                    "--checkpoint is not supported with --trainer brickwall"
-                )
             # a brick layer takes K = N/2 SIMULTANEOUS clipped lr-relative
             # pair steps with a shared stale output (block-Jacobi), so the
             # stable rate needs lr*K <~ 0.25 -- much tighter than the
@@ -196,7 +192,8 @@ def main(argv=None):
             model, val_acc = train_brickwall(
                 model, train_loader, val_loader, lr=base_lr,
                 n_epochs=args.n_epochs, weight_dec=args.weight_dec,
-                verbose=True,
+                verbose=True, bond_schedule=bond_schedule,
+                checkpoint_path=args.checkpoint, resume=args.resume,
             )
         else:
             base_lr = args.lr if args.lr is not None else (

@@ -76,6 +76,27 @@ def boundary_forward(model: BoundaryMPS, phi: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def grow_boundary_bond(model: BoundaryMPS, new_M: int) -> BoundaryMPS:
+    """Embed a boundary-label MPS into a larger bond dimension (zero
+    padding; exactly function-preserving -- see ``mps.grow_bond``).
+
+    New bond slots (and the new rows of the output projection ``w``) start
+    at zero; two-site pair splits rotate weight into them on the next
+    layer (the merged pair's row space spans ``old_M * D`` directions, so
+    each growth step can double M at D=2)."""
+    M = model.M
+    if new_M < M:
+        raise ValueError(f"cannot shrink bonds: {M} -> {new_M}")
+    if new_M == M:
+        return model
+    N, _, D, _ = model.sites.shape
+    sites = jnp.zeros((N, new_M, D, new_M), dtype=model.dtype)
+    sites = sites.at[:, :M, :, :M].set(model.sites)
+    w = jnp.zeros((new_M, model.L), dtype=model.dtype)
+    w = w.at[:M, :].set(model.w)
+    return model.replace(sites=sites, w=w)
+
+
 def boundary_product_init(
     key: jax.Array,
     N: int,

@@ -356,18 +356,33 @@ def train_brickwall(
     weight_dec: float = 1e-5,
     lr_sweep_decay: float = 1.0,
     verbose: bool = False,
+    bond_schedule: dict = None,
+    checkpoint_path: str = None,
+    resume: bool = False,
 ):
     """Epoch loop over brick sweeps. ``lr`` may be a float or a callable
     ``epoch -> float``; ``lr_sweep_decay`` multiplies the rate once per
     brick sweep. Returns ``(model, val_acc list)``.
 
+    ``bond_schedule`` maps ``epoch -> M``: the model grows to bond
+    dimension M at the start of that epoch (zero-padded embedding,
+    function preserved exactly; one re-jit per growth — see
+    ``models.boundary.grow_boundary_bond``). With ``checkpoint_path`` the
+    model + epoch counter is saved after every epoch; ``resume=True``
+    continues an interrupted run.
+
     Long chains: a brick layer applies K = N/2 clipped lr-relative pair
-    updates multiplicatively, so keep ``lr`` of order ``2/N`` past
+    updates multiplicatively, so keep ``lr`` of order ``0.5/N`` past
     N ~ a few hundred (cf. the two-site N-scaled rate, BENCH_NOTES.md).
     """
+    import os
+
     import numpy as np
 
-    from tensornetworkforml_tpu.models.boundary import boundary_forward
+    from tensornetworkforml_tpu.models.boundary import (
+        boundary_forward,
+        grow_boundary_bond,
+    )
     from tensornetworkforml_tpu.ops.embedding import psi_embed
     from tensornetworkforml_tpu.train.trainer import _loader_batches
 
@@ -375,7 +390,22 @@ def train_brickwall(
     lr_fn = lr if callable(lr) else (lambda _e: lr)
     val_acc = []
     sweep_idx = 0
-    for epoch in range(n_epochs):
+    start_epoch = 0
+    if checkpoint_path and resume and os.path.exists(checkpoint_path):
+        from tensornetworkforml_tpu.utils.checkpoint import (
+            load_boundary_training_state,
+        )
+
+        model, start_epoch, sweep_idx, _ = load_boundary_training_state(
+            checkpoint_path, dtype=model.dtype
+        )
+        if verbose and start_epoch:
+            print(f"resuming from epoch {start_epoch}")
+    for epoch in range(start_epoch, n_epochs):
+        if bond_schedule and epoch in bond_schedule:
+            model = grow_boundary_bond(model, int(bond_schedule[epoch]))
+            if verbose:
+                print(f"epoch {epoch}: bond dimension grown to {model.M}")
         batches = list(_loader_batches(train_loader))
         shapes = {np.asarray(x).shape for x, _ in batches}
         if len(shapes) == 1 and lr_sweep_decay == 1.0:
@@ -409,4 +439,12 @@ def train_brickwall(
         val_acc.append(float(np.mean(accs)) if accs else float("nan"))
         if verbose:
             print(f"epoch {epoch}: val {val_acc[-1]:.4f}")
+        if checkpoint_path:
+            from tensornetworkforml_tpu.utils.checkpoint import (
+                save_boundary_training_state,
+            )
+
+            save_boundary_training_state(
+                checkpoint_path, model, epoch + 1, sweep_idx, False
+            )
     return model, val_acc

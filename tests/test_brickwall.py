@@ -311,6 +311,69 @@ def test_sharded_brick_step_matches_single_device():
     assert np.isfinite(float(metrics["accuracy"]))
 
 
+def test_grow_boundary_bond_preserves_function():
+    from tensornetworkforml_tpu.models.boundary import grow_boundary_bond
+
+    N, M, L, B = 10, 4, 3, 12
+    model = boundary_product_init(jax.random.PRNGKey(6), N=N, M=M, L=L,
+                                  dtype=jnp.float64, noise=0.2)
+    x = RNG.random((B, N))
+    phi = jnp.asarray(np.asarray(psi_embed(jnp.asarray(x))))
+    before = boundary_forward(model, phi)
+    grown = grow_boundary_bond(model, 7)
+    assert grown.M == 7 and grown.w.shape == (7, L)
+    after = boundary_forward(grown, phi)
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after),
+                               rtol=1e-12, atol=1e-14)
+    # growth activates: a brick sweep on the grown model trains and fills
+    # new bond slots
+    y1h = jnp.asarray(np.eye(L)[RNG.integers(0, L, B)].T)
+    out, _ = brick_sweep(grown, phi, y1h, 0.05, 1e-5)
+    assert np.isfinite(np.asarray(out.sites)).all()
+    assert float(jnp.abs(out.sites[:, M:, :, :]).max()) > 0  # new slots live
+
+
+def test_brickwall_checkpoint_resume(tmp_path):
+    n, dim = 256, 4
+    data, labels = create_dataset(n, dim, 0.5, seed=7)
+    x = data.reshape(n, -1)
+
+    class Loader:
+        def __init__(self, x, y, b):
+            self.x, self.y, self.b = x, y, b
+
+        def batches(self):
+            for i in range(len(self.x) // self.b):
+                s = slice(i * self.b, (i + 1) * self.b)
+                yield self.x[s], self.y[s]
+
+    tl = Loader(x[:192], labels[:192], 64)
+    vl = Loader(x[192:], labels[192:], 64)
+
+    def init():
+        return boundary_product_init(
+            jax.random.PRNGKey(3), N=dim * dim, M=6, L=2, act_fn="linear",
+            loss_fn="MSE", dtype=jnp.float64, calibration_x=x[:128],
+        )
+
+    straight, _ = train_brickwall(init(), tl, vl, lr=0.02, n_epochs=2,
+                                  weight_dec=1e-5)
+
+    ckpt = str(tmp_path / "bw.npz")
+    train_brickwall(init(), tl, vl, lr=0.02, n_epochs=1, weight_dec=1e-5,
+                    checkpoint_path=ckpt)
+    resumed, _ = train_brickwall(init(), tl, vl, lr=0.02, n_epochs=2,
+                                 weight_dec=1e-5, checkpoint_path=ckpt,
+                                 resume=True)
+    np.testing.assert_allclose(
+        np.asarray(resumed.sites), np.asarray(straight.sites),
+        rtol=1e-9, atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(resumed.w), np.asarray(straight.w), rtol=1e-9, atol=1e-11
+    )
+
+
 def test_brick_sweep_shapes_and_finite():
     N, M, L, B = 9, 4, 3, 8  # odd N: trailing site rests in the even layer
     model = boundary_product_init(jax.random.PRNGKey(7), N=N, M=M, L=L,
