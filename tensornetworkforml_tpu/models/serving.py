@@ -16,6 +16,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tensornetworkforml_tpu.models.boundary import (
+    BoundaryMPS,
+    boundary_forward_arrays,
+)
 from tensornetworkforml_tpu.models.mps import MPS, _forward_arrays, apply_act_fn
 from tensornetworkforml_tpu.ops.embedding import psi_embed
 
@@ -23,9 +27,12 @@ from tensornetworkforml_tpu.ops.embedding import psi_embed
 class Predictor:
     """Compiled fixed-shape batch predictor for a trained MPS.
 
-    Arbitrary request sizes are served by padding up to the configured
-    ``batch_size`` (static shapes -> one compilation); larger requests are
-    chunked. With a ``mesh``, inputs are sharded over its ``data`` axis.
+    Serves BOTH model families: the traveling-label ``MPS`` and the
+    boundary-label ``BoundaryMPS`` (the one-site / brick-wall trainers'
+    family). Arbitrary request sizes are served by padding up to the
+    configured ``batch_size`` (static shapes -> one compilation); larger
+    requests are chunked. With a ``mesh``, inputs are sharded over its
+    ``data`` axis.
     """
 
     def __init__(
@@ -40,16 +47,41 @@ class Predictor:
         self.batch_size = int(batch_size)
         self.activation = activation
         self._mesh = mesh
+        self._is_boundary = isinstance(mps, BoundaryMPS)
         if mesh is not None:
             from tensornetworkforml_tpu.parallel.mesh import (
                 batch_sharding,
-                replicate_params,
+                replicated,
             )
 
-            self.mps = replicate_params(mesh, mps)
+            if self._is_boundary:
+                sh = replicated(mesh)
+                self.mps = mps.replace(
+                    sites=jax.device_put(mps.sites, sh),
+                    w=jax.device_put(mps.w, sh),
+                )
+            else:
+                from tensornetworkforml_tpu.parallel.mesh import (
+                    replicate_params,
+                )
+
+                self.mps = replicate_params(mesh, mps)
             self._x_sharding = batch_sharding(mesh, 0, ndim=2)
         else:
             self._x_sharding = None
+
+        if self._is_boundary:
+            # boundary family: scores close on the output projection w
+            @jax.jit
+            def _scores_b(sites, w, x_raw):
+                f = boundary_forward_arrays(sites, w, psi_embed(x_raw))
+                if activation:
+                    f = apply_act_fn(f, mps.act_fn, mps.T)
+                return f
+
+            self._scores_fn = _scores_b
+            self.use_pallas = False
+            return
 
         l_pos = self.mps.l_pos
 
@@ -106,7 +138,18 @@ class Predictor:
         if path.endswith(".dat"):
             mps = mps_from_reference_pickle(path, dtype=jnp.float32)
         else:
-            mps = load_checkpoint(path, dtype=jnp.float32)
+            import json
+
+            with np.load(path) as data:
+                meta = json.loads(bytes(data["meta"]).decode())
+            if meta.get("kind") == "boundary":
+                from tensornetworkforml_tpu.utils.checkpoint import (
+                    load_boundary_checkpoint,
+                )
+
+                mps = load_boundary_checkpoint(path, dtype=jnp.float32)
+            else:
+                mps = load_checkpoint(path, dtype=jnp.float32)
         return cls(mps, **kwargs)
 
     def warmup(self) -> None:
@@ -118,7 +161,8 @@ class Predictor:
         x_dev = jnp.asarray(x_chunk, dtype=self.mps.dtype)
         if self._x_sharding is not None:
             x_dev = jax.device_put(x_dev, self._x_sharding)
-        return self._scores_fn(self.mps.sites, self.mps.label_site, x_dev)
+        second = self.mps.w if self._is_boundary else self.mps.label_site
+        return self._scores_fn(self.mps.sites, second, x_dev)
 
     def scores(self, x_raw: np.ndarray) -> np.ndarray:
         """Class scores ``(n, L)`` for raw pixels ``(n, N)`` (any n)."""

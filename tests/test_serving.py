@@ -63,3 +63,39 @@ def test_predictor_activation_mode():
     pred = Predictor(mps, batch_size=8, activation=True)
     s = pred.scores(np.random.default_rng(0).random((5, 16)))
     np.testing.assert_allclose(s.sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_predictor_serves_boundary_family(tmp_path):
+    """The Predictor serves the boundary-label family (one-site/brick-wall
+    trainers), including from its .npz checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensornetworkforml_tpu.models.boundary import (
+        boundary_forward,
+        boundary_product_init,
+    )
+    from tensornetworkforml_tpu.models.serving import Predictor
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+    from tensornetworkforml_tpu.utils.checkpoint import (
+        save_boundary_checkpoint,
+    )
+
+    rng = np.random.default_rng(9)
+    N, M, L = 12, 5, 3
+    model = boundary_product_init(jax.random.PRNGKey(1), N=N, M=M, L=L,
+                                  dtype=jnp.float32, noise=0.3)
+    x = rng.random((23, N)).astype(np.float32)  # non-multiple of batch
+
+    pred = Predictor(model, batch_size=8)
+    got = pred.scores(x)
+    want = np.asarray(
+        boundary_forward(model, psi_embed(jnp.asarray(x)))
+    ).T
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert pred.predict(x).shape == (23,)
+
+    path = str(tmp_path / "bmodel.npz")
+    save_boundary_checkpoint(model, path)
+    pred2 = Predictor.from_checkpoint(path, batch_size=8)
+    np.testing.assert_allclose(pred2.scores(x), got, rtol=1e-6, atol=1e-7)
