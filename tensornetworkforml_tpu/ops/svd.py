@@ -278,6 +278,12 @@ def batched_cholqr_split(
     """
     import jax
 
+    out_dtype = bmats.dtype
+    if out_dtype == jnp.bfloat16:
+        # bf16 machine-eps (~8e-3) swamps any usable Cholesky ridge;
+        # factor in f32 and cast the factors back (same policy as the
+        # sweep engine's pre-split upcast, train/sweep.py)
+        bmats = bmats.astype(jnp.float32)
     K, I, J = bmats.shape
     if eps is None:
         # The ridge must dominate the Cholesky's ROUNDOFF on the (unit-
@@ -329,7 +335,8 @@ def batched_cholqr_split(
             y = cholqr(colnorm(y))
             y = jnp.einsum("kil,klq->kiq", g, y)
         q = cholqr(cholqr(colnorm(y)))
-        return q, jnp.einsum("kim,kij->kmj", q, bmats)
+        r = jnp.einsum("kim,kij->kmj", q, bmats)
+        return q.astype(out_dtype), r.astype(out_dtype)
 
 
 def _chol_svd_split(

@@ -386,3 +386,23 @@ def test_brick_sweep_shapes_and_finite():
     assert np.isfinite(np.asarray(out.sites)).all()
     assert np.isfinite(np.asarray(out.w)).all()
     assert np.isfinite(float(metrics["MAE"]))
+
+
+def test_batched_cholqr_split_bfloat16_inputs():
+    """bf16 inputs are factored in f32 internally (bf16 machine-eps swamps
+    the Cholesky ridge) and returned in bf16."""
+    from tensornetworkforml_tpu.ops.svd import batched_cholqr_split
+
+    rng = np.random.default_rng(1)
+    b32 = jnp.asarray(rng.standard_normal((4, 8, 8)), dtype=jnp.float32)
+    b16 = b32.astype(jnp.bfloat16)
+    q, r = batched_cholqr_split(b16, 4)
+    assert q.dtype == jnp.bfloat16 and r.dtype == jnp.bfloat16
+    q32, r32 = batched_cholqr_split(b32, 4)
+    # reconstruction agrees with the f32 split within bf16 resolution
+    np.testing.assert_allclose(
+        np.einsum("kir,krj->kij", np.asarray(q, np.float32),
+                  np.asarray(r, np.float32)),
+        np.asarray(jnp.einsum("kir,krj->kij", q32, r32)),
+        atol=0.05,
+    )
