@@ -224,8 +224,7 @@ def _brick_sweep_body(sites, w, phi, y_onehot, lr, weight_dec, T, cfg):
     return sites, w, metrics
 
 
-@partial(jax.jit, static_argnames=("T", "cfg"))
-def _brick_epoch_jit(sites, w, phi_epoch, y1h_epoch, lr, weight_dec, T, cfg):
+def _brick_epoch_body(sites, w, phi_epoch, y1h_epoch, lr, weight_dec, T, cfg):
     """Whole epoch of brick sweeps as ONE program: a ``lax.scan`` over
     batches (the brick analogue of ``train/epoch.py::fused_epoch``; on the
     ~40 ms-per-dispatch tunnel one dispatch per epoch is the difference
@@ -243,6 +242,17 @@ def _brick_epoch_jit(sites, w, phi_epoch, y1h_epoch, lr, weight_dec, T, cfg):
     return sites, w, metrics
 
 
+@partial(jax.jit, static_argnames=("T", "cfg"))
+def _brick_epoch_jit(sites, w, phi_epoch, y1h_epoch, lr, weight_dec, T, cfg):
+    if cfg.matmul_precision != "default":
+        with jax.default_matmul_precision(cfg.matmul_precision):
+            return _brick_epoch_body(
+                sites, w, phi_epoch, y1h_epoch, lr, weight_dec, T, cfg
+            )
+    return _brick_epoch_body(sites, w, phi_epoch, y1h_epoch, lr, weight_dec,
+                             T, cfg)
+
+
 def brick_epoch(
     model: BoundaryMPS,
     x_epoch,
@@ -250,10 +260,15 @@ def brick_epoch(
     lr: float,
     weight_dec: float,
     cfg: BrickConfig = None,
+    mesh=None,
 ):
     """One fused epoch: ``x_epoch (n_batches, B, N)`` raw pixels,
     ``y_epoch (n_batches, B)`` integer labels. Returns
-    ``(model, metrics)`` with per-batch pre-update metric series."""
+    ``(model, metrics)`` with per-batch pre-update metric series.
+
+    With ``mesh``, the per-batch axis is sharded over the mesh's ``data``
+    axis (data parallelism inside ONE whole-epoch program: GSPMD emits one
+    psum per brick layer for all pair gradients)."""
     from tensornetworkforml_tpu.ops.embedding import psi_embed
 
     if cfg is None:
@@ -264,16 +279,41 @@ def brick_epoch(
     y1h = jax.nn.one_hot(y_epoch, model.L, dtype=model.dtype).transpose(
         0, 2, 1
     )  # (n_batches, L, B)
-    sites, w, metrics = _brick_epoch_jit(
+    args = (
         model.sites,
         model.w,
         phi_epoch,
         y1h,
         jnp.asarray(lr, dtype=model.dtype),
         jnp.asarray(weight_dec, dtype=model.dtype),
-        model.T,
-        cfg,
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from tensornetworkforml_tpu.parallel.mesh import DATA_AXIS
+
+        repl = NamedSharding(mesh, P())
+        phi_sh = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
+        y_sh = NamedSharding(mesh, P(None, None, DATA_AXIS))
+
+        def body(sites, w, phi_e, y_e, lr_, wd_):
+            if cfg.matmul_precision != "default":
+                with jax.default_matmul_precision(cfg.matmul_precision):
+                    return _brick_epoch_body(
+                        sites, w, phi_e, y_e, lr_, wd_, model.T, cfg
+                    )
+            return _brick_epoch_body(
+                sites, w, phi_e, y_e, lr_, wd_, model.T, cfg
+            )
+
+        fn = jax.jit(
+            body,
+            in_shardings=(repl, repl, phi_sh, y_sh, repl, repl),
+            out_shardings=(repl, repl, repl),
+        )
+        sites, w, metrics = fn(*args)
+    else:
+        sites, w, metrics = _brick_epoch_jit(*args, model.T, cfg)
     return model.replace(sites=sites, w=w), metrics
 
 

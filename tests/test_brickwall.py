@@ -406,3 +406,26 @@ def test_batched_cholqr_split_bfloat16_inputs():
         np.asarray(jnp.einsum("kir,krj->kij", q32, r32)),
         atol=0.05,
     )
+
+
+def test_brick_epoch_mesh_matches_single_device():
+    from tensornetworkforml_tpu.parallel.mesh import make_mesh
+    from tensornetworkforml_tpu.train.brickwall import brick_epoch
+
+    N, M, L, B, nb = 10, 4, 3, 16, 2  # B divisible by 8 devices
+    model = boundary_product_init(jax.random.PRNGKey(8), N=N, M=M, L=L,
+                                  dtype=jnp.float64, noise=0.1)
+    x_ep = RNG.random((nb, B, N))
+    y_ep = RNG.integers(0, L, (nb, B))
+
+    single, _ = brick_epoch(model, x_ep, y_ep, 0.05, 1e-4)
+    mesh = make_mesh()
+    sharded, metrics = brick_epoch(model, x_ep, y_ep, 0.05, 1e-4, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded.sites), np.asarray(single.sites), rtol=1e-9,
+        atol=1e-11,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded.w), np.asarray(single.w), rtol=1e-9, atol=1e-11
+    )
+    assert np.isfinite(np.asarray(metrics["accuracy"])).all()
