@@ -189,11 +189,21 @@ def main(argv=None):
             # (measured at N=196: lr=0.002 holds 1.0 val, 0.01 diverges;
             # BENCH_NOTES.md)
             base_lr = args.lr if args.lr is not None else min(0.02, 0.5 / N)
+            from tensornetworkforml_tpu.train.brickwall import BrickConfig
+
+            if args.svd_method not in ("cholqr", "rangefinder"):
+                raise SystemExit(
+                    "--trainer brickwall supports --svd_method cholqr or "
+                    f"rangefinder (got {args.svd_method!r})"
+                )
+            bcfg = BrickConfig(act_fn=args.act_fn, loss_fn=args.loss_fn,
+                               split_method=args.svd_method)
             model, val_acc = train_brickwall(
                 model, train_loader, val_loader, lr=base_lr,
                 n_epochs=args.n_epochs, weight_dec=args.weight_dec,
                 verbose=True, bond_schedule=bond_schedule,
                 checkpoint_path=args.checkpoint, resume=args.resume,
+                cfg=bcfg,
             )
         else:
             base_lr = args.lr if args.lr is not None else (

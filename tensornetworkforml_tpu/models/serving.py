@@ -131,25 +131,14 @@ class Predictor:
     @classmethod
     def from_checkpoint(cls, path: str, **kwargs) -> "Predictor":
         from tensornetworkforml_tpu.utils.checkpoint import (
-            load_checkpoint,
+            load_any_checkpoint,
             mps_from_reference_pickle,
         )
 
         if path.endswith(".dat"):
             mps = mps_from_reference_pickle(path, dtype=jnp.float32)
         else:
-            import json
-
-            with np.load(path) as data:
-                meta = json.loads(bytes(data["meta"]).decode())
-            if meta.get("kind") == "boundary":
-                from tensornetworkforml_tpu.utils.checkpoint import (
-                    load_boundary_checkpoint,
-                )
-
-                mps = load_boundary_checkpoint(path, dtype=jnp.float32)
-            else:
-                mps = load_checkpoint(path, dtype=jnp.float32)
+            mps = load_any_checkpoint(path, dtype=jnp.float32)
         return cls(mps, **kwargs)
 
     def warmup(self) -> None:

@@ -273,6 +273,19 @@ def batched_cholqr_split(
     oversampled trailing columns decay to noise that breaks the batched
     Cholesky (measured: the oversampled+RR variant NaNs).
 
+    VALIDITY DOMAIN (f32): the KEPT spectral block must span <= ~3
+    decades. Power iterations act on randomly-mixed sketch columns, so a
+    kept direction at sigma/sigma_max < ~1e-3 falls below f32 resolution
+    within its column after the sigma^2-weighted applications and is
+    numerically annihilated before orthogonalization can separate it
+    (the rangefinder survives this because Rayleigh-Ritz separates
+    directions BEFORE powering). Measured mid-training two-site spectra
+    in this framework keep >= 99.9% of energy within ~2 decades, and all
+    training-quality gates hold at parity with the exact SVD -- but for
+    regimes with wide kept spectra use ``rangefinder`` or ``svd``
+    (``tests/test_brickwall.py::test_cholqr_wide_spectrum_contract``
+    pins this behavior).
+
     Replaces, for the brick layer only, the per-step exact SVD of the
     reference (``Network_class.py:887``).
     """

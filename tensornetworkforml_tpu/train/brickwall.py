@@ -46,7 +46,7 @@ the per-pair update semantics follow its ``update_B``
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache as _lru_cache, partial
 from typing import NamedTuple
 
 import jax
@@ -189,16 +189,9 @@ def _brick_layer(sites, w, phi_t, y_onehot, lr, weight_dec, parity, cfg, T):
 
 
 def _w_update(sites, w, phi_t, y_onehot, lr, weight_dec, cfg, T, e0):
-    B_sz = phi_t.shape[1]
-    M = sites.shape[1]
+    from tensornetworkforml_tpu.ops.contractions import left_env_final_fused
 
-    def lstep(v, x):
-        A, p = x
-        return jnp.einsum("bl,bd,ldr->br", v, p, A), None
-
-    l_full, _ = jax.lax.scan(
-        lstep, jnp.broadcast_to(e0, (B_sz, M)), (sites, phi_t)
-    )
+    l_full = left_env_final_fused(sites, phi_t, e0)  # (B, M)
     f = (l_full @ w).T
     f_act = apply_act_fn(f, cfg.act_fn, T)
     loss_der = loss_derivative(f_act, y_onehot, cfg.loss_fn, cfg.act_fn, T)
@@ -288,33 +281,37 @@ def brick_epoch(
         jnp.asarray(weight_dec, dtype=model.dtype),
     )
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        from tensornetworkforml_tpu.parallel.mesh import DATA_AXIS
-
-        repl = NamedSharding(mesh, P())
-        phi_sh = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
-        y_sh = NamedSharding(mesh, P(None, None, DATA_AXIS))
-
-        def body(sites, w, phi_e, y_e, lr_, wd_):
-            if cfg.matmul_precision != "default":
-                with jax.default_matmul_precision(cfg.matmul_precision):
-                    return _brick_epoch_body(
-                        sites, w, phi_e, y_e, lr_, wd_, model.T, cfg
-                    )
-            return _brick_epoch_body(
-                sites, w, phi_e, y_e, lr_, wd_, model.T, cfg
-            )
-
-        fn = jax.jit(
-            body,
-            in_shardings=(repl, repl, phi_sh, y_sh, repl, repl),
-            out_shardings=(repl, repl, repl),
-        )
+        fn = _sharded_epoch_fn(mesh, model.T, cfg)
         sites, w, metrics = fn(*args)
     else:
         sites, w, metrics = _brick_epoch_jit(*args, model.T, cfg)
     return model.replace(sites=sites, w=w), metrics
+
+
+@_lru_cache(maxsize=None)
+def _sharded_epoch_fn(mesh, T, cfg):
+    """Compile (once per (mesh, T, cfg)) the mesh-sharded whole-epoch
+    program -- a fresh jit per call would re-trace every epoch."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from tensornetworkforml_tpu.parallel.mesh import DATA_AXIS
+
+    repl = NamedSharding(mesh, P())
+    phi_sh = NamedSharding(mesh, P(None, DATA_AXIS, None, None))
+    y_sh = NamedSharding(mesh, P(None, None, DATA_AXIS))
+
+    def body(sites, w, phi_e, y_e, lr_, wd_):
+        if cfg.matmul_precision != "default":
+            with jax.default_matmul_precision(cfg.matmul_precision):
+                return _brick_epoch_body(sites, w, phi_e, y_e, lr_, wd_, T,
+                                         cfg)
+        return _brick_epoch_body(sites, w, phi_e, y_e, lr_, wd_, T, cfg)
+
+    return jax.jit(
+        body,
+        in_shardings=(repl, repl, phi_sh, y_sh, repl, repl),
+        out_shardings=(repl, repl, repl),
+    )
 
 
 @partial(jax.jit, static_argnames=("T", "cfg"))
@@ -399,10 +396,15 @@ def train_brickwall(
     bond_schedule: dict = None,
     checkpoint_path: str = None,
     resume: bool = False,
+    cfg: BrickConfig = None,
 ):
     """Epoch loop over brick sweeps. ``lr`` may be a float or a callable
     ``epoch -> float``; ``lr_sweep_decay`` multiplies the rate once per
     brick sweep. Returns ``(model, val_acc list)``.
+
+    ``cfg`` overrides the full ``BrickConfig`` (split_method, renorm,
+    growth_cap, matmul_precision); by default it is built from the
+    model's act/loss functions.
 
     ``bond_schedule`` maps ``epoch -> M``: the model grows to bond
     dimension M at the start of that epoch (zero-padded embedding,
@@ -426,7 +428,8 @@ def train_brickwall(
     from tensornetworkforml_tpu.ops.embedding import psi_embed
     from tensornetworkforml_tpu.train.trainer import _loader_batches
 
-    cfg = BrickConfig(act_fn=model.act_fn, loss_fn=model.loss_fn)
+    if cfg is None:
+        cfg = BrickConfig(act_fn=model.act_fn, loss_fn=model.loss_fn)
     lr_fn = lr if callable(lr) else (lambda _e: lr)
     val_acc = []
     sweep_idx = 0

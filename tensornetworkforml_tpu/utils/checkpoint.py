@@ -167,6 +167,17 @@ def load_boundary_training_state(path: str, dtype=None):
     )
 
 
+def load_any_checkpoint(path: str, dtype=None):
+    """Load either checkpoint family from one read of the archive's meta:
+    returns an ``MPS`` or a ``BoundaryMPS`` according to the stored
+    ``kind`` (keeps format knowledge here instead of in every caller)."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+    if meta.get("kind") == "boundary":
+        return load_boundary_checkpoint(path, dtype=dtype)
+    return load_checkpoint(path, dtype=dtype)
+
+
 def load_boundary_checkpoint(path: str, dtype=None):
     """Load a BoundaryMPS from a ``.npz`` written by
     ``save_boundary_checkpoint``."""

@@ -32,10 +32,11 @@ def _device_sync(tree):
     is the only proof of execution, so do both.
     """
     jax.block_until_ready(tree)
+    # fetch from EVERY leaf: independent dispatches complete independently,
+    # so proving one program says nothing about the others
     for leaf in jax.tree_util.tree_leaves(tree):
         if hasattr(leaf, "ravel"):
             np.asarray(leaf.ravel()[:1])
-            break
 
 
 class Timer:
