@@ -12,6 +12,7 @@ from tensornetworkforml_tpu.models.boundary import (
     BoundaryMPS,
     boundary_forward,
     boundary_product_init,
+    grow_boundary_bond,
 )
 from tensornetworkforml_tpu.models.ring import (
     ring_forward,
@@ -32,6 +33,7 @@ __all__ = [
     "BoundaryMPS",
     "boundary_forward",
     "boundary_product_init",
+    "grow_boundary_bond",
     "Predictor",
     "ring_forward",
     "ring_product_init",
