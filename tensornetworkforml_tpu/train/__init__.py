@@ -13,6 +13,7 @@ from tensornetworkforml_tpu.train.trainer import (
 from tensornetworkforml_tpu.train.autodiff import (
     AutodiffConfig,
     AutodiffTrainer,
+    BoundaryAutodiffTrainer,
 )
 from tensornetworkforml_tpu.train.onesite import (
     OneSiteConfig,
@@ -36,6 +37,7 @@ __all__ = [
     "train_model",
     "AutodiffConfig",
     "AutodiffTrainer",
+    "BoundaryAutodiffTrainer",
     "OneSiteConfig",
     "onesite_sweep",
     "train_boundary_model",

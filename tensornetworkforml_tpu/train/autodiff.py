@@ -90,15 +90,21 @@ class AutodiffTrainer:
 
         self._step = train_step
 
+    def _params(self):
+        return (self.mps.sites, self.mps.label_site)
+
+    def _set_params(self, params):
+        self.mps = self.mps.replace(sites=params[0], label_site=params[1])
+
     def step(self, x_raw, y) -> tuple[float, float]:
         """One optimiser step on a batch; returns ``(loss, accuracy)``."""
-        params = (self.mps.sites, self.mps.label_site)
+        params = self._params()
         x_raw = jnp.asarray(x_raw, dtype=self.mps.dtype)
         y = jnp.asarray(np.asarray(y))
         params, self.opt_state, loss, acc = self._step(
             params, self.opt_state, x_raw, y
         )
-        self.mps = self.mps.replace(sites=params[0], label_site=params[1])
+        self._set_params(params)
         return float(loss), float(acc)
 
     def fit(self, loader, n_epochs: int, verbose: bool = False):
@@ -118,3 +124,45 @@ class AutodiffTrainer:
             if verbose:
                 print(f"epoch {epoch}: {history[-1]}")
         return history
+
+
+class BoundaryAutodiffTrainer(AutodiffTrainer):
+    """Autodiff trainer for the boundary-label family: optimises
+    ``(sites, w)`` jointly with optax (finetuning stage after one-site or
+    brick-wall training; bond structure fixed)."""
+
+    def __init__(self, model, cfg: AutodiffConfig = AutodiffConfig()):
+        from tensornetworkforml_tpu.models.boundary import (
+            boundary_forward_arrays,
+        )
+
+        self.mps = model  # BoundaryMPS: same .dtype/.T surface
+        self.cfg = cfg
+        self.opt = make_optimizer(cfg)
+        self.opt_state = self.opt.init((model.sites, model.w))
+        T = model.T
+
+        def fwd(sites, w, phi, _l_pos):
+            return boundary_forward_arrays(sites, w, phi)
+
+        @jax.jit
+        def train_step(params, opt_state, x_raw, y):
+            (loss, acc), grads = jax.value_and_grad(
+                lambda p: _loss_fn(p, x_raw, y, 0, T, cfg, fwd),
+                has_aux=True,
+            )(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, acc
+
+        self._step = train_step
+
+    def _params(self):
+        return (self.mps.sites, self.mps.w)
+
+    def _set_params(self, params):
+        self.mps = self.mps.replace(sites=params[0], w=params[1])
+
+    @property
+    def model(self):
+        return self.mps

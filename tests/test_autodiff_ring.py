@@ -142,3 +142,33 @@ def test_lr_schedule_callable():
     )
     assert seen == [0, 1, 2]
     assert max(val_acc) >= 0.9
+
+
+def test_boundary_autodiff_finetunes():
+    """The optax trainer optimises the boundary-label family (finetuning
+    stage for one-site / brick-wall models)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tensornetworkforml_tpu.data.diagonals import create_dataset
+    from tensornetworkforml_tpu.models.boundary import boundary_product_init
+    from tensornetworkforml_tpu.train.autodiff import (
+        AutodiffConfig,
+        BoundaryAutodiffTrainer,
+    )
+
+    data, labels = create_dataset(256, 4, 0.5, seed=5)
+    x = data.reshape(256, -1)
+    model = boundary_product_init(
+        jax.random.PRNGKey(0), N=16, M=6, L=2, act_fn="linear",
+        loss_fn="MSE", dtype=jnp.float64, calibration_x=x[:128],
+    )
+    trainer = BoundaryAutodiffTrainer(
+        model, AutodiffConfig(loss="softmax_xent", learning_rate=3e-2)
+    )
+    first_loss, _ = trainer.step(x[:128], labels[:128])
+    for _ in range(60):
+        loss, acc = trainer.step(x[:128], labels[:128])
+    assert loss < first_loss
+    assert acc >= 0.95, acc
+    assert trainer.model.sites.shape == model.sites.shape
