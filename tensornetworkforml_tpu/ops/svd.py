@@ -303,9 +303,18 @@ def batched_cholqr_split(
         # diagonal) Gram of normalized columns, or rank-deficient batches
         # (e.g. the traveling-label chain's zero-padded edge tensors, rank
         # as low as 2 with q ~ 2M columns) make trailing pivots negative
-        # and the factorization NaNs -- q * machine-eps is ~1e-6 in f32,
-        # so 1e-7 is NOT a ridge there (measured: step-0 split NaNs).
-        eps = 1e-5 if bmats.dtype != jnp.float64 else 1e-12
+        # and the factorization NaNs, which the live-column mask then
+        # propagates to an all-zero model. Roundoff grows with the COLUMN
+        # COUNT q, so the ridge must too: a fixed 1e-5 passed at q <= 128
+        # but measured all-zero at q = 256 (M=256 traveling-label, step-1
+        # split dead at eps=1e-5, alive at 1e-4). 8*q*machine-eps gives
+        # 3e-5 at q=32 .. 4.9e-4 at q=512; the isometry deviation it
+        # costs (~eps/2) stays far below the bf16 contraction noise.
+        q_cols = min(rank, I)
+        if bmats.dtype == jnp.float64:
+            eps = max(1e-12, 8.0 * q_cols * 2.22e-16)
+        else:
+            eps = max(1e-5, 8.0 * q_cols * 1.19e-7)
     ee = jnp.eye(min(rank, I), dtype=bmats.dtype)
     # columns this far below the batch's largest are DEAD directions
     # (rank-deficient pairs, e.g. the traveling-label chain's zero-padded

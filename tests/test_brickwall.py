@@ -459,9 +459,12 @@ def test_cholqr_wide_spectrum_contract():
         overlaps = np.linalg.norm(q64.T @ u[:, :rank], axis=0)
         return overlaps
 
-    # narrow kept block (the measured training regime): all captured
+    # narrow kept block (the measured training regime): all captured.
+    # The q-scaled Cholesky ridge (8*q*machine-eps, required so q >= 256
+    # splits don't NaN) costs ~1.5e-5 of per-direction overlap here --
+    # far below the ~1e-2 bf16 contraction noise of the compute path.
     good = capture(jnp.float32, 2.0)
-    assert good.min() > 1 - 1e-5, good.min()
+    assert good.min() > 1 - 1e-4, good.min()
     # wide kept block: small directions are lost in f32 (documented limit)
     wide = capture(jnp.float32, 5.0)
     assert wide.min() < 0.9, wide.min()  # pins the KNOWN limitation
