@@ -249,6 +249,26 @@ def product_init(
         f = mps_forward(mps, phi_cal)
         scale = target_abs_f / jnp.maximum(jnp.max(jnp.abs(f)), 1e-30)
         mps = mps.replace(label_site=mps.label_site * scale)
+        return mps
+
+    # Large-M output-scale guard. The noise term random-walks the
+    # environment: per site the amplitude grows like
+    # sqrt(1 + noise^2 * M * D), so at M*D >~ 512 the init output compounds
+    # to ~30-200x instead of O(1) (measured |f0| ~ 31 / 234 at M=256 / 512,
+    # N=196) and the first gradient steps are mis-scaled by the same factor.
+    # A single scalar on the label leg restores the reference's
+    # "output O(1) at init" contract (Network_class.py:165-182) without
+    # touching the near-identity site structure the recipe depends on.
+    # Inits already in a healthy band are left bit-identical (all
+    # TPU-validated M <= 64 recipes land well inside it).
+    if calibration_x is not None:
+        phi_probe = psi_embed(jnp.asarray(calibration_x, dtype=dtype))
+    else:
+        k_probe = jax.random.fold_in(key, 7)
+        phi_probe = psi_embed(jax.random.uniform(k_probe, (16, N), dtype=dtype))
+    f0_max = float(jnp.max(jnp.abs(mps_forward(mps, phi_probe))))
+    if not (0.1 <= f0_max <= 10.0) and f0_max > 0.0:
+        mps = mps.replace(label_site=mps.label_site * (target_abs_f / f0_max))
 
     return mps
 
