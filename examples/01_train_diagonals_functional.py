@@ -1,7 +1,10 @@
 """Minimal functional-API training on the noisy-diagonals task.
 
 Run: python examples/01_train_diagonals_functional.py
+(set TNML_SMOKE=1 for the CI-sized run -- same code path, smaller data)
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -13,9 +16,14 @@ from tensornetworkforml_tpu.models.mps import mps_init
 from tensornetworkforml_tpu.ops.embedding import psi_embed
 from tensornetworkforml_tpu.train.trainer import train_model
 
-data, labels = create_dataset(4000, linear_dim=8, sigma=0.7, seed=0)
+SMOKE = bool(os.environ.get("TNML_SMOKE"))
+n_samples = 320 if SMOKE else 4000
+batch = 128 if SMOKE else 3200
+n_epochs = 2 if SMOKE else 5
+
+data, labels = create_dataset(n_samples, linear_dim=8, sigma=0.7, seed=0)
 train_loader, val_loader, _ = prepare_dataset(
-    data, labels, 1.0, 0.2, 3200, 128, 128, embed=False, seed=1
+    data, labels, 1.0, 0.2, batch, 128, 128, embed=False, seed=1
 )
 
 x_cal, _ = next(train_loader.batches())
@@ -28,6 +36,6 @@ mps = mps_init(
 )
 
 mps, val_acc, var_hist = train_model(
-    mps, train_loader, val_loader, lr=0.01, n_epochs=5, weight_dec=1.0
+    mps, train_loader, val_loader, lr=0.01, n_epochs=n_epochs, weight_dec=1.0
 )
 print("validation accuracy per epoch:", [round(v, 4) for v in val_acc])

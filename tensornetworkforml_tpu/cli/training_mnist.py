@@ -76,8 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="two-site split backend: cholqr (default) is the "
                         "matmul/Cholesky-only subspace split -- fastest "
                         "measured sweeps (3-5x rangefinder at M>=64) with "
-                        "equivalent accuracy; rangefinder is the qr+eigh "
-                        "subspace split; svd is the exact split")
+                        "equivalent accuracy; NOTE its f32 validity domain "
+                        "is a kept spectral block spanning <= ~3 decades "
+                        "(directions below ~1e-3 of sigma_max are "
+                        "annihilated) -- use rangefinder (qr+eigh subspace "
+                        "split, no such limit) or svd (exact) for "
+                        "wide-spectrum regimes")
     p.add_argument("--trainer", type=str, default="twosite",
                    choices=["twosite", "onesite", "brickwall"],
                    help="onesite: SVD-free boundary-label sweeps (~7x "

@@ -71,6 +71,12 @@ class Predictor:
             self._x_sharding = None
 
         if self._is_boundary:
+            if use_pallas:
+                raise ValueError(
+                    "use_pallas=True is not supported for the boundary-"
+                    "label family (the fused kernel serves the traveling-"
+                    "label MPS only); omit it or pass use_pallas=False"
+                )
             # boundary family: scores close on the output projection w
             @jax.jit
             def _scores_b(sites, w, x_raw):

@@ -288,10 +288,12 @@ def brick_epoch(
     return model.replace(sites=sites, w=w), metrics
 
 
-@_lru_cache(maxsize=None)
+@_lru_cache(maxsize=8)
 def _sharded_epoch_fn(mesh, T, cfg):
     """Compile (once per (mesh, T, cfg)) the mesh-sharded whole-epoch
-    program -- a fresh jit per call would re-trace every epoch."""
+    program -- a fresh jit per call would re-trace every epoch. Bounded:
+    an unbounded cache would pin every Mesh + compiled epoch program for
+    the process lifetime under lr/config scans."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from tensornetworkforml_tpu.parallel.mesh import DATA_AXIS

@@ -172,6 +172,12 @@ def load_any_checkpoint(path: str, dtype=None):
     returns an ``MPS`` or a ``BoundaryMPS`` according to the stored
     ``kind`` (keeps format knowledge here instead of in every caller)."""
     with np.load(path) as data:
+        if "meta" not in data:
+            raise ValueError(
+                f"{path!r} is not a tensornetworkforml_tpu checkpoint: "
+                "expected an .npz archive with a 'meta' JSON entry "
+                "(entries found: " + ", ".join(sorted(data.files)) + ")"
+            )
         meta = json.loads(bytes(data["meta"]).decode())
     if meta.get("kind") == "boundary":
         return load_boundary_checkpoint(path, dtype=dtype)

@@ -130,6 +130,40 @@ def test_onesite_checkpoint_resume(tmp_path):
     )
 
 
+def test_boundary_predictor_rejects_explicit_pallas():
+    # round-2 advisor: explicit use_pallas=True for the boundary family was
+    # silently ignored; it must be rejected loudly
+    from tensornetworkforml_tpu.models.boundary import boundary_product_init
+    from tensornetworkforml_tpu.models.serving import Predictor
+
+    rng = np.random.default_rng(0)
+    model = boundary_product_init(
+        jax.random.PRNGKey(0), N=6, M=4, L=3, act_fn="linear",
+        loss_fn="MSE", dtype=jnp.float32, calibration_x=rng.random((8, 6)),
+    )
+    with pytest.raises(ValueError, match="boundary"):
+        Predictor(model, batch_size=8, use_pallas=True)
+    p = Predictor(model, batch_size=8)  # default stays fine
+    assert p.use_pallas is False
+
+
+def test_load_any_checkpoint_foreign_npz_message(tmp_path):
+    # round-2 advisor: a foreign .npz used to die with a bare KeyError
+    from tensornetworkforml_tpu.utils.checkpoint import load_any_checkpoint
+
+    path = str(tmp_path / "foreign.npz")
+    np.savez(path, weights=np.zeros((3, 3)))
+    with pytest.raises(ValueError, match="meta"):
+        load_any_checkpoint(path)
+
+
+def test_sharded_epoch_cache_is_bounded():
+    # round-2 advisor: unbounded lru_cache pinned Mesh objects forever
+    from tensornetworkforml_tpu.train.brickwall import _sharded_epoch_fn
+
+    assert _sharded_epoch_fn.cache_parameters()["maxsize"] == 8
+
+
 def test_mnist_cli_dp_checkpoint_resume(tmp_path):
     from tensornetworkforml_tpu.cli.training_mnist import main
 
