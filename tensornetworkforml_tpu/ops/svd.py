@@ -28,6 +28,13 @@ Backends:
     split.
   * ``"cholsvd"`` -- SVD of the Cholesky factor of ``B B^T`` (true
     singular values from a small square SVD).
+  * ``"polar"`` -- fused Pallas polar-NS split (canonical mode only):
+    the whole sketch + Gram + subspace iteration runs in ONE Mosaic
+    kernel with matmul-only Newton-Schulz orthonormalisation
+    (``ops/kernels/polar_split.py``). Built because round-3 profiling
+    showed EVERY XLA-composed split is floored near ~150 us/step by
+    per-op dispatch latency (~2.5 us/op, ~30 us per Cholesky+solve),
+    regardless of arithmetic.
 """
 
 from __future__ import annotations
@@ -95,6 +102,27 @@ def truncated_svd_split(
             )
         q, r = batched_cholqr_split(bmat[None], rank)
         return q[0], r[0]
+    elif method == "polar":
+        # fused Pallas polar-NS split (ops/kernels/polar_split.py): the
+        # latency-minimal TPU split -- ONE kernel + one matmul instead of
+        # ~15 latency-bound XLA ops (the measured floor of any XLA-composed
+        # split, results/profile_sweep_ablation.json). Interpret-mode on
+        # non-TPU backends keeps the numerics identical for tests.
+        if split_mode != "canonical":
+            raise ValueError("polar split requires split_mode='canonical'")
+        if keep is not None:
+            raise ValueError(
+                "polar split does not support rank_mode='reference'"
+            )
+        import jax
+
+        from tensornetworkforml_tpu.ops.kernels.polar_split import (
+            polar_split_pallas,
+        )
+
+        return polar_split_pallas(
+            bmat, rank, interpret=jax.default_backend() != "tpu"
+        )
     elif method == "rangefinder":
         # auto-dispatch: above the crossover the fused Pallas kernel beats
         # the XLA qr/eigh chain (whose latency grows badly with size):
@@ -299,34 +327,69 @@ def batched_cholqr_split(
         bmats = bmats.astype(jnp.float32)
     K, I, J = bmats.shape
     if eps is None:
-        # The ridge must dominate the Cholesky's ROUNDOFF on the (unit-
-        # diagonal) Gram of normalized columns, or rank-deficient batches
-        # (e.g. the traveling-label chain's zero-padded edge tensors, rank
-        # as low as 2 with q ~ 2M columns) make trailing pivots negative
-        # and the factorization NaNs, which the live-column mask then
-        # propagates to an all-zero model. Roundoff grows with the COLUMN
-        # COUNT q, so the ridge must too: a fixed 1e-5 passed at q <= 128
-        # but measured all-zero at q = 256 (M=256 traveling-label, step-1
-        # split dead at eps=1e-5, alive at 1e-4). 8*q*machine-eps gives
-        # 3e-5 at q=32 .. 4.9e-4 at q=512; the isometry deviation it
-        # costs (~eps/2) stays far below the bf16 contraction noise.
-        q_cols = min(rank, I)
-        if bmats.dtype == jnp.float64:
-            eps = max(1e-12, 8.0 * q_cols * 2.22e-16)
-        else:
-            eps = max(1e-5, 8.0 * q_cols * 1.19e-7)
-    ee = jnp.eye(min(rank, I), dtype=bmats.dtype)
-    # columns this far below the batch's largest are DEAD directions
-    # (rank-deficient pairs, e.g. the traveling-label chain's zero-padded
-    # edge tensors). They must go to EXACTLY zero, not be normalized:
-    # dividing a numerically-zero column by the 1e-30 floor overflows
-    # float32 to Inf and NaNs the Cholesky, and even when it survives, the
-    # inflated noise column leaks weight into bond slots the padded
-    # representation needs zero (f32 training collapses -- measured).
-    # Zero columns ride through cholqr as zeros (the ridge keeps W PD and
-    # the solve returns zero columns), so Q keeps the live isometry block
-    # plus exact-zero dead slots -- the same contract as the masked SVD.
-    dead_tol = 1e-6 if bmats.dtype != jnp.float64 else 1e-12
+        eps = _cholqr_eps(bmats.dtype, min(rank, I))
+
+    with jax.default_matmul_precision("float32"):
+        # Frobenius prescale per pair (same rationale as _rangefinder_split)
+        bn = jnp.maximum(
+            jnp.sqrt(jnp.sum(bmats * bmats, axis=(-2, -1), keepdims=True)),
+            1e-30,
+        )
+        bs = bmats / bn
+        om = _rangefinder_omega(J, min(rank, I), bmats.dtype)
+        y = jnp.einsum("kij,jq->kiq", bs, om)
+        g = jnp.einsum("kij,klj->kil", bs, bs)  # (K, I, I) Gram, formed once
+        q = _cholqr_subspace(g, y, eps, n_power)
+        r = jnp.einsum("kim,kij->kmj", q, bmats)
+        return q.astype(out_dtype), r.astype(out_dtype)
+
+
+def _cholqr_eps(dtype, q_cols: int) -> float:
+    """Cholesky ridge for the cholqr splits.
+
+    The ridge must dominate the Cholesky's ROUNDOFF on the (unit-
+    diagonal) Gram of normalized columns, or rank-deficient batches
+    (e.g. the traveling-label chain's zero-padded edge tensors, rank
+    as low as 2 with q ~ 2M columns) make trailing pivots negative
+    and the factorization NaNs, which the live-column mask then
+    propagates to an all-zero model. Roundoff grows with the COLUMN
+    COUNT q, so the ridge must too: a fixed 1e-5 passed at q <= 128
+    but measured all-zero at q = 256 (M=256 traveling-label, step-1
+    split dead at eps=1e-5, alive at 1e-4). 8*q*machine-eps gives
+    3e-5 at q=32 .. 4.9e-4 at q=512; the isometry deviation it
+    costs (~eps/2) stays far below the bf16 contraction noise.
+    """
+    if dtype == jnp.float64:
+        return max(1e-12, 8.0 * q_cols * 2.22e-16)
+    return max(1e-5, 8.0 * q_cols * 1.19e-7)
+
+
+def _cholqr_subspace(g, y, eps, n_power: int):
+    """Shared cholqr subspace-iteration core: power iterations of the Gram
+    ``g (K, I, I)`` on the sketch ``y (K, I, q)``, every iterate column-
+    normalized then CholQR'd with the ``eps`` ridge, finished by a CholQR2
+    pass. Returns the isometric factor ``(K, I, q)``.
+
+    Factored out so the bond-distributed split
+    (``parallel/dist_split.py``) shares these numerics EXACTLY: there the
+    (I, I)/(I, q)-shaped work below is replicated per device while the
+    J-dimension matmuls producing ``g``/``y`` are column-sharded psums.
+
+    Dead-column contract: columns below ``dead_tol`` of the batch max are
+    DEAD directions (rank-deficient pairs, e.g. the traveling-label
+    chain's zero-padded edge tensors). They must go to EXACTLY zero, not
+    be normalized: dividing a numerically-zero column by the 1e-30 floor
+    overflows float32 to Inf and NaNs the Cholesky, and even when it
+    survives, the inflated noise column leaks weight into bond slots the
+    padded representation needs zero (f32 training collapses -- measured).
+    Zero columns ride through cholqr as zeros (the ridge keeps W PD and
+    the solve returns zero columns), so Q keeps the live isometry block
+    plus exact-zero dead slots -- the same contract as the masked SVD.
+    """
+    import jax
+
+    dead_tol = 1e-6 if y.dtype != jnp.float64 else 1e-12
+    ee = jnp.eye(y.shape[-1], dtype=y.dtype)
 
     def colnorm(y):
         n = jnp.linalg.norm(y, axis=-2, keepdims=True)
@@ -343,22 +406,10 @@ def batched_cholqr_split(
             c, y, left_side=False, lower=True, transpose_a=True
         )
 
-    with jax.default_matmul_precision("float32"):
-        # Frobenius prescale per pair (same rationale as _rangefinder_split)
-        bn = jnp.maximum(
-            jnp.sqrt(jnp.sum(bmats * bmats, axis=(-2, -1), keepdims=True)),
-            1e-30,
-        )
-        bs = bmats / bn
-        om = _rangefinder_omega(J, min(rank, I), bmats.dtype)
-        y = jnp.einsum("kij,jq->kiq", bs, om)
-        g = jnp.einsum("kij,klj->kil", bs, bs)  # (K, I, I) Gram, formed once
-        for _ in range(n_power):
-            y = cholqr(colnorm(y))
-            y = jnp.einsum("kil,klq->kiq", g, y)
-        q = cholqr(cholqr(colnorm(y)))
-        r = jnp.einsum("kim,kij->kmj", q, bmats)
-        return q.astype(out_dtype), r.astype(out_dtype)
+    for _ in range(n_power):
+        y = cholqr(colnorm(y))
+        y = jnp.einsum("kil,klq->kiq", g, y)
+    return cholqr(cholqr(colnorm(y)))
 
 
 def _chol_svd_split(

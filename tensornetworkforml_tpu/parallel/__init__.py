@@ -12,6 +12,10 @@ from tensornetworkforml_tpu.parallel.dp import (
     ShardedTrainer,
     make_sharded_train_step,
 )
+from tensornetworkforml_tpu.parallel.dist_split import (
+    distributed_cholqr_split,
+    shard_bmat_columns,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -24,4 +28,6 @@ __all__ = [
     "site_sharding",
     "ShardedTrainer",
     "make_sharded_train_step",
+    "distributed_cholqr_split",
+    "shard_bmat_columns",
 ]

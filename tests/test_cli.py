@@ -89,3 +89,17 @@ def test_training_mnist10_cli_synthetic(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "mnist10.npz")
     assert max(val_acc) >= 0.9, f"val accuracy too low: {val_acc}"
     assert test_acc >= 0.9, f"test accuracy too low: {test_acc}"
+
+
+def test_replicate_stoudenmire_runner_synthetic_smoke(tmp_path, monkeypatch):
+    """The north-star replication runner dry-runs end-to-end on the
+    synthetic stand-in (smoke scale): bond schedule, warmup, gate print.
+    The real-data gate (99.03% @ m=120) activates when IDX files exist."""
+    monkeypatch.chdir(tmp_path)
+    from tensornetworkforml_tpu.cli.replicate_stoudenmire import main
+
+    rc = main([
+        "--synthetic", "--smoke", "--out", str(tmp_path / "m120.npz"),
+    ])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "m120.npz")

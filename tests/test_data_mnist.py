@@ -60,6 +60,80 @@ def test_get_mnist_dataset_from_idx_dir(tmp_path):
     np.testing.assert_array_equal(d, te_l)
 
 
+def test_idx_hand_crafted_bytes(tmp_path):
+    """Byte-literal IDX fixture (NOT produced by our own writer): catches
+    reader/writer shared misunderstandings of the format. The dimension
+    300 = 0x012C spans two bytes, so a little-endian misread would return
+    shape (11264...,) garbage, and the pixel payload has a pinned
+    checksum."""
+    # magic: 2 zero bytes, dtype 0x08 (ubyte), ndim 3; dims 300, 2, 3
+    header = bytes([0, 0, 0x08, 3,
+                    0, 0, 0x01, 0x2C,   # 300 big-endian
+                    0, 0, 0, 2,
+                    0, 0, 0, 3])
+    payload = bytes(range(256)) * 7 + bytes(8)  # 300*2*3 = 1800 bytes
+    p = str(tmp_path / "crafted-idx3-ubyte")
+    with open(p, "wb") as fh:
+        fh.write(header + payload)
+    arr = _read_idx(p)
+    assert arr.shape == (300, 2, 3)
+    assert arr.dtype == np.uint8
+    assert arr[0, 0, 0] == 0 and arr[0, 0, 2] == 2 and arr[1, 0, 0] == 6
+    assert int(arr.sum()) == 228480  # 7 * sum(0..255)
+    # labels-style 1-D fixture with a >255 dimension too
+    lheader = bytes([0, 0, 0x08, 1, 0, 0, 0x01, 0x04])  # 260 items
+    lpayload = bytes([i % 10 for i in range(260)])
+    pl = str(tmp_path / "crafted-idx1-ubyte")
+    with open(pl, "wb") as fh:
+        fh.write(lheader + lpayload)
+    labels = _read_idx(pl)
+    assert labels.shape == (260,)
+    assert labels[0] == 0 and labels[259] == 9 and int(labels.sum()) == 1170
+
+
+def test_idx_int32_big_endian_payload(tmp_path):
+    """Multi-byte element dtype (0x0C = int32): payload bytes are
+    big-endian; a native-endian misread returns wildly different values."""
+    header = bytes([0, 0, 0x0C, 1, 0, 0, 0, 2])
+    payload = bytes([0, 0, 0x01, 0x00,   # 256
+                     0xFF, 0xFF, 0xFF, 0xFE])  # -2
+    p = str(tmp_path / "crafted-idx-int32")
+    with open(p, "wb") as fh:
+        fh.write(header + payload)
+    arr = _read_idx(p)
+    assert arr.shape == (2,)
+    assert int(arr[0]) == 256 and int(arr[1]) == -2
+
+
+# Well-known invariants of the genuine MNIST distribution files: first ten
+# train labels / test labels, counts, and image magic. Gated on the real
+# files being present; this is the readiness check for the
+# Stoudenmire-Schwab 99.03% @ m=120 north-star replication run
+# (BASELINE.json; reference paper section 4).
+_REAL_DIRS = ("./datasets", "/root/datasets", "/root/data",
+              os.environ.get("MNIST_DIR", ""))
+
+
+def _find_real_mnist():
+    from tensornetworkforml_tpu.data.mnist import _find
+
+    for d in _REAL_DIRS:
+        if d and _find(d, "train-images-idx3-ubyte"):
+            return d
+    return None
+
+
+def test_real_mnist_invariants_when_present():
+    d = _find_real_mnist()
+    if d is None:
+        pytest.skip("real MNIST IDX files not present in this environment")
+    tr_x, tr_y, te_x, te_y = get_MNIST_dataset(d)
+    assert tr_x.shape == (60000, 28, 28) and te_x.shape == (10000, 28, 28)
+    np.testing.assert_array_equal(tr_y[:10], [5, 0, 4, 1, 9, 2, 1, 3, 1, 4])
+    np.testing.assert_array_equal(te_y[:10], [7, 2, 1, 0, 4, 1, 4, 9, 5, 9])
+    assert 0 <= tr_x.min() and tr_x.max() == 255.0
+
+
 def test_get_mnist_dataset_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="synthetic_mnist"):
         get_MNIST_dataset(str(tmp_path / "nope"))

@@ -231,6 +231,67 @@ def test_dp_rangefinder_split_matches_single_device():
     )
 
 
+def test_distributed_cholqr_split_matches_single_device():
+    """Explicit-collective bond-distributed cholqr split == the
+    single-device batched split (shared subspace-iteration core; only the
+    psum summation order differs)."""
+    from tensornetworkforml_tpu.ops.svd import batched_cholqr_split
+    from tensornetworkforml_tpu.parallel.dist_split import (
+        distributed_cholqr_split,
+        shard_bmat_columns,
+    )
+
+    I, J, rank = 64, 384, 32
+    bmat = jnp.asarray(RNG.standard_normal((I, J)))
+    q_ref, r_ref = batched_cholqr_split(bmat[None], rank)
+
+    for shape in ((1, 8), (4, 2)):
+        mesh = make_mesh(shape=shape)
+        b_sh = shard_bmat_columns(bmat, mesh)
+        q, r = distributed_cholqr_split(b_sh, rank, mesh)
+        np.testing.assert_allclose(
+            np.asarray(q), np.asarray(q_ref[0]), rtol=1e-9, atol=1e-11
+        )
+        np.testing.assert_allclose(
+            np.asarray(r), np.asarray(r_ref[0]), rtol=1e-9, atol=1e-11
+        )
+        # the right factor really is still column-sharded over `model`
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert r.sharding.is_equivalent_to(
+            NamedSharding(mesh, P(None, "model")), ndim=2
+        )
+        # Q is an isometry up to the documented ridge deviation
+        qq = np.asarray(q.T @ q)
+        assert np.abs(qq - np.eye(rank)).max() < 1e-9
+
+
+def test_distributed_cholqr_split_rank_deficient():
+    """Dead-direction contract survives distribution (same as the
+    single-device split's documented contract): dead subspace directions
+    come out CONTRACTED (|Q_col| << 1, never junk unit columns), the live
+    block is isometric, and Q @ R still reproduces B."""
+    from tensornetworkforml_tpu.parallel.dist_split import (
+        distributed_cholqr_split,
+        shard_bmat_columns,
+    )
+
+    I, J, rank, true_rank = 32, 128, 16, 5
+    lowrank = (
+        RNG.standard_normal((I, true_rank))
+        @ RNG.standard_normal((true_rank, J))
+    )
+    bmat = jnp.asarray(lowrank)
+    mesh = make_mesh(shape=(1, 8))
+    q, r = distributed_cholqr_split(shard_bmat_columns(bmat, mesh), rank, mesh)
+    col_norms = np.sort(np.linalg.norm(np.asarray(q), axis=0))
+    assert (col_norms < 1e-2).sum() == rank - true_rank  # contracted
+    assert np.allclose(col_norms[-true_rank:], 1.0, atol=1e-8)  # live block
+    np.testing.assert_allclose(
+        np.asarray(q @ r), np.asarray(bmat), rtol=1e-8, atol=1e-9
+    )
+
+
 def test_hybrid_mesh_bond_sharded_rangefinder():
     """Bond-TP + DP with the rangefinder split: the distributed split
     falls out of GSPMD (the Gram over the column-sharded two-site tensor
