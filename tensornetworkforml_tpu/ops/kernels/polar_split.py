@@ -1,0 +1,230 @@
+"""Fused Pallas TPU kernel: latency-minimal canonical split (polar NS).
+
+Round-3 profiling of the flagship sweep (N=196 M=128 L=10 B=256,
+``scripts/profile_sweep_ablation.py``, results/profile_sweep_ablation.json)
+attributed the 237 us step as: 39 us everything-but-split + ~200 us split,
+of which each XLA Cholesky + triangular-solve pair costs ~30-35 us and
+every small XLA op ~2.5 us of fixed latency -- so ANY split composed of
+~15 sequential XLA ops is latency-floored near 150 us regardless of
+arithmetic. This kernel runs the WHOLE subspace split in ONE Mosaic
+program (plus one XLA matmul for R), with every intermediate VMEM-resident:
+
+    y  = B @ Omega;  G = B B^T;  n2 = |B|_F^2     (J-tiled grid, one read
+                                                   of B; accumulated in
+                                                   VMEM scratch)
+    repeat n_power:  y = G @ polar_loose(colnorm(y))
+    Q  = polar_tight(colnorm(y))                  (last grid step)
+    R  = Q^T B                                     (XLA)
+
+Orthonormalisation is matmul-only Newton-Schulz POLAR iteration applied to
+the (I, q) iterate directly -- quintic (Polar-Express/Muon-schedule)
+passes for range expansion, cubic passes for quadratic convergence --
+with the spectrum prescaled by the row-sum bound of Y^T Y. This is what
+the round-2 kernel's ``_ns_orth`` (coupled inverse-sqrt on W,
+trace-prescaled: smallest eigenvalue ~delta/q => ~23 linear iterations)
+could not afford, and why that kernel fell back to sequential in-kernel
+Householder QR and LOST to the XLA cholqr (307 ms vs 46 ms per sweep at
+M=128). Polar-on-Y with the quintic schedule converges the live block in
+6-10 total passes of 3 tiny matmuls each.
+
+Dead-direction contract (matches ``ops.svd.batched_cholqr_split``):
+columns below ``dead_tol`` of the largest column norm are zeroed by the
+column normalisation and stay EXACTLY zero through every NS pass (a zero
+column of Y is a zero row+column of W, and Y @ poly(W) keeps it zero);
+near-dead directions come out contracted, never as junk unit columns.
+
+Replaces, on TPU, the per-step dense SVD of the reference
+(``Network_class.py:887``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Quintic NS coefficients (the Muon/Polar-Express schedule): contractive on
+# [0, 1.1] with slope 3.4445 at 0 -- each pass multiplies small singular
+# values by ~3.4 while keeping the top of the spectrum inside [0.7, 1.3].
+_QUINTIC = (3.4445, -4.7750, 2.0315)
+
+_DN = (((1,), (0,)), ((), ()))
+_DN_T = (((0,), (0,)), ((), ()))
+
+
+def _dot(a, b, dn=_DN, prec=jax.lax.Precision.HIGHEST):
+    return jax.lax.dot_general(
+        a, b, dn, preferred_element_type=jnp.float32, precision=prec,
+    )
+
+
+def _colnorm(y, dead_tol):
+    """Unit-normalize live columns, zero dead ones (exactly)."""
+    n = jnp.sqrt(jnp.sum(y * y, axis=0, keepdims=True))
+    n_max = jnp.max(n)
+    live = (n > dead_tol * n_max) & jnp.isfinite(n)
+    return jnp.where(live, y / jnp.maximum(n, 1e-30), 0.0)
+
+
+def _polar_ns(y, n_quintic: int, n_cubic: int, n_cubic_hi: int = 0):
+    """Matmul-only polar orthonormalisation of ``y (I, q)``.
+
+    Safety: the prescale is the EXACT row-sum bound ||W||_inf >= sigma_max^2
+    (PSD W = Y^T Y), so every singular value enters at <= 1 -- and the
+    quintic map with the _QUINTIC coefficients is INVARIANT on [0, 1.101]
+    (its maximum on that interval is 1.101, at x = 0.554), so no pass can
+    ever diverge and no per-pass clamping is needed. Two earlier designs
+    failed here: a Rayleigh-estimate prescale is not a guaranteed bound (a
+    structured W can leave sigma > 1.4 => quintic overflow => NaN => the
+    dead-mask zeroes the model -- observed in training), and per-pass
+    row-sum re-clamping keeps firing mid-convergence (off-diagonal mass
+    inflates the row sum by ~sqrt(q) while columns are still correlated),
+    shrinking the iterate and destroying capture. The row-sum prescale
+    overestimates sigma_max by at most sqrt(q) ~ 16x, which costs ~2
+    extra quintic passes (3.44x lift per pass) -- the schedules below
+    include them.
+
+    Precision: quintic passes and all but the last ``n_cubic_hi`` cubic
+    passes run at Precision.HIGH (3-pass bf16, ~2e-4 relative -- below
+    the cholqr ridge's documented isometry cost); the final ``n_cubic_hi``
+    passes run at HIGHEST to polish. Convergence: live directions enter
+    the cubic phase inside [~0.68, 1.101] (the quintic's attracting band)
+    and converge quadratically; sub-threshold directions stay CONTRACTED
+    -- the same annihilation contract as the cholqr ridge.
+    """
+    q = y.shape[1]
+    eye = jnp.eye(q, dtype=y.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    # Mosaic rejects Precision.HIGH ("Unsupported dot precision") -- the
+    # NS phase runs at HIGHEST too. (DEFAULT/bf16 would put ~8e-3 noise on
+    # W, replacing sub-1e-2 directions with junk; measured unusable.)
+    md = jax.lax.Precision.HIGHEST
+    w = _dot(y, y, _DN_T, md)
+    rowsum = jnp.max(jnp.sum(jnp.abs(w), axis=1))  # >= sigma_max^2 (PSD)
+    y = y / jnp.sqrt(jnp.maximum(rowsum, 1e-30))
+    a, b, c = _QUINTIC
+    for _ in range(n_quintic):
+        w = _dot(y, y, _DN_T, md)
+        p = a * eye + b * w + c * _dot(w, w, _DN, md)
+        y = _dot(y, p, _DN, md)
+    for _ in range(n_cubic):
+        w = _dot(y, y, _DN_T, md)
+        y = _dot(y, 1.5 * eye - 0.5 * w, _DN, md)
+    for _ in range(n_cubic_hi):
+        w = _dot(y, y, _DN_T, hi)
+        y = _dot(y, 1.5 * eye - 0.5 * w, _DN, hi)
+    return y
+
+
+def _polar_split_kernel(
+    b_ref, om_ref, q_ref, y_acc, g_acc, n2_acc, *,
+    n_power: int, loop_quintic: int, loop_cubic: int, final_quintic: int,
+    final_cubic: int, dead_tol: float,
+):
+    i = pl.program_id(0)
+    nc = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        y_acc[:, :] = jnp.zeros_like(y_acc)
+        g_acc[:, :] = jnp.zeros_like(g_acc)
+        n2_acc[0, 0] = 0.0
+
+    b = b_ref[:, :].astype(jnp.float32)
+    y_acc[:, :] += _dot(b, om_ref[:, :].astype(jnp.float32))
+    g_acc[:, :] += _dot(b, b, (((1,), (1,)), ((), ())))
+    n2_acc[0, 0] += jnp.sum(b * b)
+
+    @pl.when(i == nc - 1)
+    def _iterate():
+        bn2 = jnp.maximum(n2_acc[0, 0], 1e-30)
+        g = g_acc[:, :] / bn2  # spectrum of (B/|B|) (B/|B|)^T: <= 1
+        y = y_acc[:, :]
+        for _ in range(n_power):
+            y = _colnorm(y, dead_tol)
+            y = _polar_ns(y, loop_quintic, loop_cubic)
+            y = _dot(g, y)
+        y = _colnorm(y, dead_tol)
+        q = _polar_ns(y, final_quintic, final_cubic, n_cubic_hi=3)
+        q_ref[:, :] = q.astype(q_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rank", "n_power", "loop_quintic", "loop_cubic", "final_quintic",
+        "final_cubic", "interpret",
+    ),
+)
+def polar_split_pallas(
+    bmat: jnp.ndarray,
+    rank: int,
+    n_power: int = 1,
+    loop_quintic: int = 7,
+    loop_cubic: int = 1,
+    final_quintic: int = 9,
+    final_cubic: int = 9,
+    interpret: bool = False,
+):
+    """Canonical split ``bmat (I, J) -> (Q (I, rank) isometric, R = Q^T B)``
+    via the fused polar-NS kernel. Same contract as
+    ``ops.svd.batched_cholqr_split`` (canonical gauge, dead slots
+    contracted); J is tiled through VMEM so any bond dimension fits.
+    """
+    from tensornetworkforml_tpu.ops.svd import _rangefinder_omega
+
+    I, J = bmat.shape
+    q_cols = min(rank, I)
+    out_dtype = bmat.dtype
+    dead_tol = 1e-6 if bmat.dtype != jnp.float64 else 1e-12
+    if bmat.dtype not in (jnp.float32,):
+        bmat = bmat.astype(jnp.float32)
+
+    # J-tiling: chunks of <= ~2048 columns keep the double-buffered input
+    # blocks + scratch inside the ~16 MB VMEM at any bond dimension (a
+    # 4096 chunk at M=256 overflowed VMEM: 2x(5.2 + 2.6) MB inputs alone).
+    # Chunk width must be a multiple of 128 (Mosaic lane-dim constraint on
+    # the b block / sublane on the om block); pad J up with zero columns.
+    nc = max(1, -(-J // 2048))
+    tj = 128 * (-(-J // (nc * 128)))
+    pad = nc * tj - J
+    if pad:
+        bmat = jnp.concatenate(
+            [bmat, jnp.zeros((I, pad), dtype=bmat.dtype)], axis=1
+        )
+    om = _rangefinder_omega(J + pad, q_cols, bmat.dtype)
+
+    q = pl.pallas_call(
+        functools.partial(
+            _polar_split_kernel,
+            n_power=n_power, loop_quintic=loop_quintic,
+            loop_cubic=loop_cubic, final_quintic=final_quintic,
+            final_cubic=final_cubic, dead_tol=dead_tol,
+        ),
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((I, tj), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tj, q_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((I, q_cols), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((I, q_cols), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((I, q_cols), jnp.float32),
+            pltpu.VMEM((I, I), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(bmat, om)
+
+    if q_cols < rank:  # ragged: pad dead slots (I < rank never happens
+        q = jnp.concatenate(  # for the two-site tensor, I = 2M >= M=rank)
+            [q, jnp.zeros((I, rank - q_cols), dtype=q.dtype)], axis=1
+        )
+    with jax.default_matmul_precision("float32"):
+        r = q.T @ bmat[:, : J] if pad else q.T @ bmat
+    return q.astype(out_dtype), r.astype(out_dtype)

@@ -85,3 +85,109 @@ def test_rangefinder_pallas_rejects_unsupported_modes():
     with pytest.raises(ValueError, match="reference"):
         truncated_svd_split(b, 4, "rangefinder_pallas", keep=jnp.asarray(2),
                             split_mode="canonical")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 fused polar-NS split kernel (ops/kernels/polar_split.py)
+# ---------------------------------------------------------------------------
+
+def _gapped_matrix(I, J, rank, decay_top=2.0, gap=0.004, seed=0):
+    """Synthetic two-site-like spectrum: `rank` kept directions spanning
+    `decay_top` decades, then a hard gap (the measured mid-training shape:
+    median sigma_{M+1}/sigma_M ~ 0.004, kept block <= ~2 decades)."""
+    r = np.random.default_rng(seed)
+    k = min(I, J)
+    u, _ = np.linalg.qr(r.standard_normal((I, k)))
+    v, _ = np.linalg.qr(r.standard_normal((J, k)))
+    s = np.ones(k)
+    s[:rank] = np.logspace(0, -decay_top, rank)
+    s[rank:] = s[rank - 1] * gap * np.logspace(0, -2, k - rank)
+    return (u * s) @ v.T
+
+
+@pytest.mark.parametrize("I,J,rank", [(128, 1280, 64), (256, 2560, 128)])
+def test_polar_split_quality_interpret(I, J, rank):
+    """Capture and isometry at the production spectrum shape match the
+    exact SVD to f32 noise (validated in interpret mode; the TPU path is
+    the same kernel)."""
+    from tensornetworkforml_tpu.ops.kernels.polar_split import (
+        polar_split_pallas,
+    )
+
+    b = jnp.asarray(_gapped_matrix(I, J, rank), dtype=jnp.float32)
+    q, r = polar_split_pallas(b, rank, interpret=True)
+    q, r = np.asarray(q), np.asarray(r)
+    s_true = np.linalg.svd(np.asarray(b), compute_uv=False)
+    capture = (r ** 2).sum() / (s_true[:rank] ** 2).sum()
+    assert capture > 1 - 1e-5
+    live = np.linalg.norm(q, axis=0) > 0.5
+    assert live.sum() == rank
+    iso = np.abs(q[:, live].T @ q[:, live] - np.eye(rank)).max()
+    assert iso < 1e-4
+    # multi-chunk J tiling (J > 4096) takes the gridded accumulation path
+    b2 = jnp.asarray(_gapped_matrix(128, 5120, 64), dtype=jnp.float32)
+    q2, r2 = polar_split_pallas(b2, 64, interpret=True)
+    rec = np.asarray(q2 @ r2)
+    # Q Q^T B == Q R must reproduce the dominant part of B
+    s2 = np.linalg.svd(np.asarray(b2), compute_uv=False)
+    cap2 = (np.asarray(r2) ** 2).sum() / (s2[:64] ** 2).sum()
+    assert cap2 > 1 - 1e-5 and np.isfinite(rec).all()
+
+
+def test_polar_split_exact_zero_columns_stay_zero():
+    """The padded-chain contract: exactly-zero input directions (dead bond
+    slots) yield exactly-zero Q columns -- no weight leak."""
+    from tensornetworkforml_tpu.ops.kernels.polar_split import (
+        polar_split_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal((64, 640)).astype(np.float32)
+    b[32:, :] = 0.0  # dead rows: half the bond slots are padding
+    q, r = polar_split_pallas(jnp.asarray(b), 32, interpret=True)
+    q = np.asarray(q)
+    # no component of any Q column may live in the dead row block
+    assert np.abs(q[32:, :]).max() == 0.0
+    rec_err = np.abs(np.asarray(q @ r) - b).max() / np.abs(b).max()
+    assert rec_err < 1e-5
+
+
+def test_polar_split_method_dispatch_and_rejections():
+    from tensornetworkforml_tpu.ops.svd import truncated_svd_split as split
+
+    b = jnp.asarray(_gapped_matrix(64, 320, 32), dtype=jnp.float32)
+    q, r = split(b, 32, method="polar", split_mode="canonical")
+    assert q.shape == (64, 32) and r.shape == (32, 320)
+    with pytest.raises(ValueError, match="canonical"):
+        split(b, 32, method="polar", split_mode="shared")
+    with pytest.raises(ValueError, match="reference"):
+        split(b, 32, method="polar", split_mode="canonical",
+              keep=jnp.asarray(16))
+
+
+def test_polar_split_sweep_trains_on_cpu():
+    """End-to-end: a canonical sweep with svd_method='polar' learns the
+    diagonals task (interpret-mode kernel inside the scan)."""
+    from tensornetworkforml_tpu.data.diagonals import create_dataset
+    from tensornetworkforml_tpu.data.loader import prepare_dataset
+    from tensornetworkforml_tpu.models.mps import mps_forward, product_init
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+    from tensornetworkforml_tpu.train.sweep import SweepConfig, train_batch
+
+    data, labels = create_dataset(256, linear_dim=4, sigma=0.5, seed=0)
+    train_loader, _, _ = prepare_dataset(
+        data, labels, 1.0, 0.0, 64, 64, 64, embed=False, seed=1
+    )
+    x_cal, _ = next(train_loader.batches())
+    mps = product_init(jax.random.PRNGKey(0), N=16, M=8, L=2,
+                       act_fn="linear", loss_fn="MSE", dtype=jnp.float32,
+                       calibration_x=x_cal)
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical", svd_method="polar")
+    accs = []
+    for _ in range(3):
+        for x, y in train_loader.batches():
+            mps, acc, _ = train_batch(mps, x, y, 0.1, 1e-5, cfg)
+            accs.append(float(acc))
+    assert np.isfinite(np.asarray(mps.sites)).all()
+    assert accs[-1] >= 0.95, accs
