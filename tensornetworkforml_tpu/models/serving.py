@@ -97,6 +97,8 @@ class Predictor:
         # full f32 precision where the XLA path defaults to bf16 MXU
         # passes (~1e-2..1e-1 relative drift over long chains).
         if use_pallas is None:
+            # mesh serving defaults to the XLA path (GSPMD-partitioned);
+            # the shard_map'd kernel below is opt-in via use_pallas=True
             use_pallas = (
                 mesh is None
                 and jax.default_backend() == "tpu"
@@ -111,16 +113,48 @@ class Predictor:
             )
 
             this_mps = self.mps
+            interp = jax.default_backend() != "tpu"
 
-            @jax.jit
-            def _scores(sites, label_site, x_raw):
-                f = forward_scores_pallas(
-                    this_mps.replace(sites=sites, label_site=label_site),
-                    x_raw,
-                )
-                if activation:
-                    f = apply_act_fn(f, mps.act_fn, mps.T)
-                return f
+            if mesh is not None:
+                # Pallas x GSPMD: batch-shard the fused kernel with
+                # shard_map -- each device runs the whole-chain kernel on
+                # its batch shard with replicated parameters; no
+                # collectives needed (the forward is batch-local).
+                from jax.sharding import PartitionSpec as P
+
+                from tensornetworkforml_tpu.parallel.mesh import DATA_AXIS
+
+                @jax.jit
+                def _scores(sites, label_site, x_raw):
+                    @partial(
+                        jax.shard_map,
+                        mesh=mesh,
+                        in_specs=(P(), P(), P(DATA_AXIS, None)),
+                        out_specs=P(None, DATA_AXIS),
+                        check_vma=False,  # pallas outputs carry no vma
+                    )
+                    def _local(s, l, x_loc):
+                        return forward_scores_pallas(
+                            this_mps.replace(sites=s, label_site=l),
+                            x_loc, interpret=interp,
+                        )
+
+                    f = _local(sites, label_site, x_raw)
+                    if activation:
+                        f = apply_act_fn(f, mps.act_fn, mps.T)
+                    return f
+
+            else:
+
+                @jax.jit
+                def _scores(sites, label_site, x_raw):
+                    f = forward_scores_pallas(
+                        this_mps.replace(sites=sites, label_site=label_site),
+                        x_raw, interpret=interp,
+                    )
+                    if activation:
+                        f = apply_act_fn(f, mps.act_fn, mps.T)
+                    return f
 
         else:
 

@@ -228,3 +228,117 @@ def polar_split_pallas(
     with jax.default_matmul_precision("float32"):
         r = q.T @ bmat[:, : J] if pad else q.T @ bmat
     return q.astype(out_dtype), r.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage form for GSPMD composition (parallel/dist_split.py): stage 1
+# accumulates the J-carrying reductions per shard (one Pallas kernel each),
+# a psum merges them across the mesh, stage 2 runs the replicated subspace
+# iteration (second Pallas kernel). Same math as the fused kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _sketch_gram_kernel(b_ref, om_ref, y_ref, g_ref, n2_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        y_ref[:, :] = jnp.zeros_like(y_ref)
+        g_ref[:, :] = jnp.zeros_like(g_ref)
+        n2_ref[0, 0] = 0.0
+
+    b = b_ref[:, :].astype(jnp.float32)
+    y_ref[:, :] += _dot(b, om_ref[:, :].astype(jnp.float32))
+    g_ref[:, :] += _dot(b, b, (((1,), (1,)), ((), ())))
+    n2_ref[0, 0] += jnp.sum(b * b)
+
+
+def _iterate_kernel(y_ref, g_ref, n2_ref, q_ref, *, n_power, loop_quintic,
+                    loop_cubic, final_quintic, final_cubic, dead_tol):
+    bn2 = jnp.maximum(n2_ref[0, 0], 1e-30)
+    g = g_ref[:, :] / bn2
+    y = y_ref[:, :]
+    for _ in range(n_power):
+        y = _colnorm(y, dead_tol)
+        y = _polar_ns(y, loop_quintic, loop_cubic)
+        y = _dot(g, y)
+    y = _colnorm(y, dead_tol)
+    q = _polar_ns(y, final_quintic, final_cubic, n_cubic_hi=3)
+    q_ref[:, :] = q.astype(q_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def polar_sketch_gram_pallas(bmat, om, interpret: bool = False):
+    """Stage 1: ``(Y = B Omega, G = B B^T, n2 = |B|_F^2)`` for a (local
+    column shard of) ``B (I, J)``, J-tiled through VMEM. ``om`` must hold
+    the omega ROWS matching B's columns."""
+    I, J = bmat.shape
+    q_cols = om.shape[1]
+    nc = max(1, -(-J // 2048))
+    tj = 128 * (-(-J // (nc * 128)))
+    pad = nc * tj - J
+    if pad:
+        z = jnp.zeros((I, pad), dtype=bmat.dtype)
+        bmat = jnp.concatenate([bmat, z], axis=1)
+        om = jnp.concatenate(
+            [om, jnp.zeros((pad, q_cols), dtype=om.dtype)], axis=0
+        )
+    y, g, n2 = pl.pallas_call(
+        _sketch_gram_kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((I, tj), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tj, q_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((I, q_cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((I, I), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((I, q_cols), jnp.float32),
+            jax.ShapeDtypeStruct((I, I), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(bmat, om)
+    return y, g, n2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_power", "loop_quintic", "loop_cubic", "final_quintic",
+        "final_cubic", "dead_tol", "interpret",
+    ),
+)
+def polar_iterate_pallas(
+    y, g, n2,
+    n_power: int = 1,
+    loop_quintic: int = 7,
+    loop_cubic: int = 1,
+    final_quintic: int = 9,
+    final_cubic: int = 9,
+    dead_tol: float = 1e-6,
+    interpret: bool = False,
+):
+    """Stage 2: the replicated subspace iteration -> isometric ``Q``."""
+    I, q_cols = y.shape
+    return pl.pallas_call(
+        functools.partial(
+            _iterate_kernel,
+            n_power=n_power, loop_quintic=loop_quintic,
+            loop_cubic=loop_cubic, final_quintic=final_quintic,
+            final_cubic=final_cubic, dead_tol=dead_tol,
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((I, q_cols), jnp.float32),
+        interpret=interpret,
+    )(y, g, n2)

@@ -14,6 +14,7 @@ from tensornetworkforml_tpu.parallel.dp import (
 )
 from tensornetworkforml_tpu.parallel.dist_split import (
     distributed_cholqr_split,
+    distributed_polar_split,
     shard_bmat_columns,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "ShardedTrainer",
     "make_sharded_train_step",
     "distributed_cholqr_split",
+    "distributed_polar_split",
     "shard_bmat_columns",
 ]

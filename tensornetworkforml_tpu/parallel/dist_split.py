@@ -100,3 +100,67 @@ def shard_bmat_columns(
     """Device-put the two-site matrix with its columns sharded over
     ``axis`` (helper for callers holding a replicated ``B``)."""
     return jax.device_put(bmat, NamedSharding(mesh, P(None, axis)))
+
+
+def distributed_polar_split(
+    bmat: jnp.ndarray,
+    rank: int,
+    mesh: Mesh,
+    axis: str = MODEL_AXIS,
+    interpret: bool = None,
+):
+    """Bond-distributed FUSED-KERNEL split: the Pallas polar-NS split
+    (``ops/kernels/polar_split.py``) composed with explicit mesh
+    collectives -- each shard runs the stage-1 kernel (sketch + Gram over
+    its columns), ONE psum merges ``(Y, G, |B|^2)``, and the stage-2
+    kernel runs the replicated subspace iteration. This is the
+    Pallas-under-GSPMD path the round-2 review flagged as never exercised
+    (the fused kernels were single-chip-only); column sharding follows
+    ``distributed_cholqr_split`` above.
+
+    ``interpret=None`` auto-selects interpret mode off-TPU (virtual CPU
+    meshes run the same kernels through the Pallas interpreter).
+    """
+    from tensornetworkforml_tpu.ops.kernels.polar_split import (
+        polar_iterate_pallas,
+        polar_sketch_gram_pallas,
+    )
+    from tensornetworkforml_tpu.ops.svd import _rangefinder_omega
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    I, J = bmat.shape
+    q_cols = min(rank, I)
+    n_shards = mesh.shape[axis]
+    if J % n_shards:
+        raise ValueError(
+            f"column count {J} not divisible by mesh axis {axis!r} "
+            f"size {n_shards}"
+        )
+    out_dtype = bmat.dtype
+    dead_tol = 1e-6 if bmat.dtype != jnp.float64 else 1e-12
+    if bmat.dtype != jnp.float32:
+        bmat = bmat.astype(jnp.float32)
+    om = _rangefinder_omega(J, q_cols, bmat.dtype)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(axis, None)),
+        out_specs=(P(), P(None, axis)),
+        check_vma=False,  # pallas_call outputs carry no vma annotation
+    )
+    def _split(b_loc, om_loc):
+        y, g, n2 = polar_sketch_gram_pallas(b_loc, om_loc,
+                                            interpret=interpret)
+        y = jax.lax.psum(y, axis)
+        g = jax.lax.psum(g, axis)
+        n2 = jax.lax.psum(n2, axis)
+        q = polar_iterate_pallas(y, g, n2, dead_tol=dead_tol,
+                                 interpret=interpret)
+        with jax.default_matmul_precision("float32"):
+            r_loc = q.T @ b_loc
+        return q, r_loc
+
+    q, r = _split(bmat, om)
+    return q.astype(out_dtype), r.astype(out_dtype)
