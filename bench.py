@@ -216,7 +216,8 @@ def main():
     if not args.skip_high_m:
         for key, method in (("high_m", "svd"),
                             ("high_m_rangefinder", "rangefinder"),
-                            ("high_m_cholqr", "cholqr")):
+                            ("high_m_cholqr", "cholqr"),
+                            ("high_m_polar", "polar")):
             try:
                 result[key] = _high_m_point(jax, jnp, dtype, method=method)
             except Exception as e:  # never lose the headline to extras

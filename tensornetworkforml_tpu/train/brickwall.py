@@ -79,6 +79,20 @@ class BrickConfig(NamedTuple):
     # "rangefinder": vmapped ops/svd.py::_rangefinder_split (qr+eigh);
     #   exact per-pair match to the sequential engines' split.
     split_method: str = "cholqr"
+    # Function-space line search (round-3): the lr*K <= 0.25 stability law
+    # exists because K simultaneous lr-relative pair steps share one STALE
+    # output -- each pushes f the same way and the aggregate overshoots by
+    # ~K. Instead of damping by hand, compute the layer's linearized
+    # aggregate response dF = sum_k df_k (one extra batched einsum) and
+    # take the 1-D-optimal global step gamma* = <dF, loss_der>/|dF|^2
+    # (exact for linear/MSE; Gauss-Newton-style for the other losses),
+    # clamped to [0, `lr`] -- `lr` becomes a safety CAP, not the step.
+    line_search: bool = False
+    # over-relaxation on the line-searched step (SOR): gamma_used =
+    # relax * gamma*. 1.0 = exact minimizer of the linearized batch loss
+    # (never overshoots, but conservative); values in (1, 2) trade a
+    # little overshoot for faster residual decay.
+    line_search_relax: float = 1.0
 
 
 def _env_stacks(sites, w, phi_t, e0):
@@ -146,7 +160,22 @@ def _brick_layer(sites, w, phi_t, y_onehot, lr, weight_dec, parity, cfg, T):
     s_B = jnp.sum(jnp.abs(B_t), axis=(1, 2, 3, 4))
     s_dB = jnp.sum(jnp.abs(deltaB), axis=(1, 2, 3, 4))
     scale = jnp.where(s_dB > s_B, s_B / jnp.maximum(s_dB, 1e-30), 1.0)
-    B_new = B_t + lr * scale[:, None, None, None, None] * deltaB
+    direction = scale[:, None, None, None, None] * deltaB
+    if cfg.line_search:
+        # linearized aggregate response of the whole layer: df(o,b) =
+        # sum_k L_k . direction_k . (x1, x2) . R_k  -- then the 1-D
+        # optimal global step on <loss_der, df> with unit curvature
+        t1 = jnp.einsum("kbai,kaijc->kbjc", left_part, direction)
+        t2 = jnp.einsum("kbjc,kbj->kbc", t1, x2)
+        dF = jnp.einsum("kbc,kbco->ob", t2, Rk)
+        num = jnp.sum(dF * loss_der)
+        den = jnp.maximum(jnp.sum(dF * dF), 1e-30)
+        gamma = jnp.clip(cfg.line_search_relax * num / den, 0.0, lr)
+        step = gamma
+    else:
+        gamma = lr * jnp.ones((), dtype=dtype)
+        step = lr
+    B_new = B_t + step * direction
     if cfg.growth_cap > 0:
         s_new = jnp.sum(jnp.abs(B_new), axis=(1, 2, 3, 4))
         cap = (1.0 + cfg.growth_cap) * s_B
@@ -184,7 +213,7 @@ def _brick_layer(sites, w, phi_t, y_onehot, lr, weight_dec, parity, cfg, T):
         A2_new = A2_new / s[:, None, None, None]
 
     new_sites = sites.at[lo:hi:2].set(A1_new).at[lo + 1 : hi : 2].set(A2_new)
-    metrics = {"accuracy": acc, "MAE": mae}
+    metrics = {"accuracy": acc, "MAE": mae, "gamma": gamma}
     return new_sites, metrics
 
 

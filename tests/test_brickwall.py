@@ -471,3 +471,45 @@ def test_cholqr_wide_spectrum_contract():
     # ...but fine in f64 (the annihilation is a precision floor)
     wide64 = capture(jnp.float64, 5.0)
     assert wide64.min() > 1 - 1e-6, wide64.min()
+
+
+def test_brick_line_search_stable_without_tuning():
+    """Function-space line search (round-3): the layer chooses its own
+    global step, so training is stable at a cap 100x the hand-tuned
+    lr*K<=0.25 rate, with comparable quality -- the tuning knob is gone.
+    gamma is recorded in the metrics and stays in (0, cap]."""
+    import numpy as np
+
+    from tensornetworkforml_tpu.data.diagonals import create_dataset
+    from tensornetworkforml_tpu.data.loader import prepare_dataset
+    from tensornetworkforml_tpu.models.boundary import boundary_product_init
+    from tensornetworkforml_tpu.train.brickwall import (
+        BrickConfig,
+        brick_epoch,
+    )
+
+    data, labels = create_dataset(512, linear_dim=4, sigma=0.5, seed=0)
+    tl, _, _ = prepare_dataset(
+        data, labels, 1.0, 0.0, 128, 128, 128, embed=False, seed=1,
+        even_train_batches=True,
+    )
+    x_cal, _ = next(tl.batches())
+    xb, yb = [], []
+    for x, y in tl.batches():
+        xb.append(x)
+        yb.append(y)
+    xb, yb = np.stack(xb), np.stack(yb)
+
+    model = boundary_product_init(
+        jax.random.PRNGKey(0), N=16, M=8, L=2, act_fn="linear",
+        loss_fn="MSE", dtype=jnp.float32, calibration_x=x_cal,
+    )
+    cfg = BrickConfig(act_fn="linear", loss_fn="MSE", line_search=True)
+    accs = []
+    for _ in range(4):
+        model, metrics = brick_epoch(model, xb, yb, 0.5, 1e-5, cfg)
+        gammas = np.asarray(metrics["gamma"])
+        assert np.all(gammas >= 0.0) and np.all(gammas <= 0.5)
+        accs.append(float(np.mean(np.asarray(metrics["accuracy"]))))
+    assert np.isfinite(np.asarray(model.sites)).all()
+    assert accs[-1] >= 0.9, accs  # stable AND learning at the wild cap
