@@ -31,6 +31,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def make_task(task_name, task_kw):
+    """Return (data, labels, n_train) for a named task family."""
+    import numpy as np
+
+    if task_name.startswith("teacher"):
+        from tensornetworkforml_tpu.data.teacher import teacher_task
+
+        tr_x, tr_y, te_x, te_y = teacher_task(**task_kw)
+        return (np.concatenate([tr_x, te_x]),
+                np.concatenate([tr_y, te_y]), len(tr_x))
+    if task_name.startswith("blob"):
+        from tensornetworkforml_tpu.data.mnist import (
+            max_pool_2x2,
+            synthetic_mnist,
+        )
+
+        tr_x, tr_y, te_x, te_y = synthetic_mnist(
+            task_kw["n_train"], task_kw["n_test"],
+            noise=task_kw["noise"], seed=task_kw.get("seed", 0),
+        )
+        data = max_pool_2x2(
+            np.concatenate([tr_x, te_x]) / 255.0
+        ).reshape(len(tr_x) + len(te_x), -1)
+        return data, np.concatenate([tr_y, te_y]), len(tr_x)
+    raise ValueError(task_name)
+
+
 def run(task_name, task_kw, trainers, n_epochs, targets, M=32, B=256,
         seed=0):
     import jax
@@ -54,12 +81,9 @@ def run(task_name, task_kw, trainers, n_epochs, targets, M=32, B=256,
         train_model,
     )
 
-    N = task_kw["N"]
-    L = task_kw["L"]
-    tr_x, tr_y, te_x, te_y = teacher_task(**task_kw)
-    data = np.concatenate([tr_x, te_x])
-    labels = np.concatenate([tr_y, te_y])
-    n_train = len(tr_x)
+    data, labels, n_train = make_task(task_name, task_kw)
+    N = data.shape[1]
+    L = int(labels.max()) + 1
     tl, vl, test_l = prepare_dataset(
         data, labels, n_train / len(data), 0.125, B, 256, 256,
         embed=False, seed=1, even_train_batches=True,
@@ -162,6 +186,8 @@ def run(task_name, task_kw, trainers, n_epochs, targets, M=32, B=256,
 def main():
     import jax
 
+    if os.environ.get("TNML_BT_CPU"):  # logic check off-TPU
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     trainers = ["twosite:cholqr", "twosite:polar", "onesite", "brickwall"]
     only = os.environ.get("TNML_BT_ONLY")
@@ -170,18 +196,22 @@ def main():
     epochs = int(os.environ.get("TNML_BT_EPOCHS", "20"))
 
     out = {}
-    out["standard"] = run(
-        "standard",
-        dict(n_train=4096, n_test=1024, N=196, L=10, teacher_m=2,
-             margin=0.5, seed=0),
-        trainers, n_epochs=epochs, targets=(0.85, 0.9),
+    # seconds-to-target: multi-epoch learnable task (heavy-noise blobs,
+    # N=196 pooled, reachable ~0.96 by the two-site recipe)
+    out["blob_noise0.6"] = run(
+        "blob_noise0.6",
+        dict(n_train=4096, n_test=1024, noise=0.6, seed=0),
+        trainers, n_epochs=epochs, targets=(0.9, 0.95),
     )
     if not os.environ.get("TNML_BT_SKIP_HARD"):
-        out["hard"] = run(
-            "hard",
-            dict(n_train=4096, n_test=1024, N=196, L=10, teacher_m=4,
-                 margin=0.3, seed=0),
-            trainers, n_epochs=epochs, targets=(0.75, 0.8),
+        # quality-at-budget stress case: entangled teacher labels with a
+        # 0.3 prototype channel (two-site plateau ~0.70; discriminates
+        # what each trainer can extract beyond the rank-1 channel)
+        out["teacher_pm0.3"] = run(
+            "teacher_pm0.3",
+            dict(n_train=4096, n_test=1024, N=196, L=10, teacher_m=3,
+                 margin=0.5, proto_mix=0.3, seed=0),
+            trainers, n_epochs=epochs, targets=(0.6, 0.7),
         )
 
     path = "/root/repo/results/bench_trainers.json"

@@ -120,6 +120,15 @@ def truncated_svd_split(
             polar_split_pallas,
         )
 
+        if bmat.shape[0] > 256 and jax.default_backend() == "tpu":
+            # Known limitation (round 3): Mosaic's remote compiler crashes
+            # (tpu_compile_helper exit 1, no diagnostic) for this kernel at
+            # I >= 384 -- bisected to the row count, reproduced even for
+            # the 3-matmul sketch/Gram stage. Until root-caused, M >= 192
+            # two-site splits take the XLA cholqr path (same contract,
+            # 147 ms/sweep at M=256 -- measured, fine for quality runs).
+            q, r = batched_cholqr_split(bmat[None], rank)
+            return q[0], r[0]
         return polar_split_pallas(
             bmat, rank, interpret=jax.default_backend() != "tpu"
         )
