@@ -116,11 +116,12 @@ def main():
     sweep_mod.truncated_svd_split = patched_split
 
     def time_sweep(method, dtype=jnp.float32, N=196, M=128, L=10, B=256,
-                   reps=8):
+                   reps=8, engine="xla"):
         if SMOKE:
             N, M, B, reps = 12, 8, 16, 2
         cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
-                          split_mode="canonical", svd_method=method)
+                          split_mode="canonical", svd_method=method,
+                          engine=engine)
         mps = mps_init(jax.random.PRNGKey(0), N=N, M=M, L=L, act_fn="linear",
                        loss_fn="MSE", dtype=dtype)
         rng = np.random.default_rng(0)
@@ -166,6 +167,8 @@ def main():
         ("polar", dict(method="polar")),
         ("polar_M256", dict(method="polar", M=256)),
         ("cholqr_M256", dict(method="cholqr", M=256)),
+        ("fused_step", dict(method="polar", engine="fused")),
+        ("fused_step_M64", dict(method="polar", engine="fused", M=64)),
     ]
     only = os.environ.get("TNML_ABL_ONLY")
     if only:

@@ -1,0 +1,262 @@
+"""Fused Pallas TPU kernel: the ENTIRE two-site DMRG step in one program.
+
+Round-3 profiling (results/profile_sweep_ablation.json) left two floors
+after the polar split kernel landed: ~39 us/step of everything-but-split
+(~15 small XLA ops at ~2.5 us each) and the split kernel's own dispatch +
+HBM round trips. This kernel fuses the WHOLE step of
+``train/sweep.py::two_site_update`` -- merge, metrics, analytic gradient,
+L1 clip, ascent update, f recompute, polar-NS canonical split, and the
+left-environment extension -- into ONE Mosaic program per scan iteration.
+
+Layout design (transpose-free): the label core is carried LABEL-MAJOR as
+``lab (L, M*D, M)`` and every contraction is batched over the label index
+o, so all tensors keep ``(rows=a*i, cols=j*c)`` matmul layouts end to end:
+
+    merge        B3[o] = lab[o] @ A2                 (L matmuls)
+    gradient     dB3[o] = (loss_der[o,b] * left)^T @ right
+    f_new[o,b]   = sum_ai left[b,ai] * (B3'[o] @ right^T)[ai,b]
+    sketch/Gram  Y += B3'[o] @ om[o];  G += B3'[o] @ B3'[o]^T
+    split        polar-NS subspace iteration (ops/kernels/polar_split.py
+                 math: row-sum prescale, quintic invariant on [0,1.101])
+    right factor R[o] = Q^T @ B3'[o]   -- stays label-major for the next
+                 scan step; Q reshapes to the new left site tensor.
+
+The reference computes this step as ~200 lines of sequential NumPy
+(``Network_class.py:440-763``); the XLA scan port pays per-op latency.
+
+Same validity domain as ``svd_method="polar"``: canonical gauge,
+rank_mode="fixed", kept spectra <= ~2.5 decades; Mosaic compile crash at
+M*D >= 384 rows (see ops/svd.py) applies here too, so M <= 128 flagship
+shapes are the target.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tensornetworkforml_tpu.ops.kernels.polar_split import (
+    _colnorm,
+    _dot,
+    _polar_ns,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _step_kernel(
+    lab_ref,      # (L, I, M)   label core, I = M*D
+    a2_ref,       # (M, JC)     right neighbour, JC = D*M
+    x1_ref,       # (B, D)
+    x2_ref,       # (B, D)
+    lenv_ref,     # (B, M)
+    renv_ref,     # (B, M)
+    y1h_ref,      # (L, B)
+    f_ref,        # (L, B)
+    om_ref,       # (L, JC, M)  label-sliced sketch matrix
+    lr_ref,       # (1, 1) SMEM
+    # outputs
+    aleft_ref,    # (I, M)
+    labnew_ref,   # (L, M, JC)  next step's label core (label-major)
+    lenv_new_ref,  # (B, M)
+    fnew_ref,     # (L, B)
+    metr_ref,     # (1, 4) SMEM: acc, mae, sum|B|, sum|dB|
+    *,
+    act_fn: str,
+    loss_fn: str,
+    T: float,
+    renorm_envs: bool,
+    growth_cap: float,
+    dead_tol: float,
+    loop_quintic: int,
+    loop_cubic: int,
+    final_quintic: int,
+    final_cubic: int,
+):
+    from tensornetworkforml_tpu.models.mps import (
+        apply_act_fn,
+        loss_derivative,
+    )
+
+    L, I, M = lab_ref.shape
+    B, D = x1_ref.shape
+    JC = a2_ref.shape[1]
+    lr = lr_ref[0, 0]
+
+    f = f_ref[:, :]
+    y1h = y1h_ref[:, :]
+    f_act = apply_act_fn(f, act_fn, T)
+    y_pred = jnp.argmax(f_act, axis=0)
+    y_true = jnp.argmax(y1h, axis=0)
+    acc = jnp.mean((y_pred == y_true).astype(jnp.float32))
+    mae = jnp.mean(jnp.abs(y1h - f_act))
+    loss_der = loss_derivative(f_act, y1h, loss_fn, act_fn, T)  # (L, B)
+
+    # left/right batch factors: (B, I) and (B, JC) -- outer products of
+    # the environment with the site input, kept flat
+    lenv = lenv_ref[:, :]
+    renv = renv_ref[:, :]
+    x1 = x1_ref[:, :]
+    x2 = x2_ref[:, :]
+    left = (lenv[:, :, None] * x1[:, None, :]).reshape(B, I)
+    right = (x2[:, :, None] * renv[:, None, :]).reshape(B, JC)
+
+    a2 = a2_ref[:, :]
+
+    # per-label merge + gradient + clip statistics, accumulated flat
+    s_B = jnp.zeros((), jnp.float32)
+    s_dB = jnp.zeros((), jnp.float32)
+    b3 = []
+    db3 = []
+    for o in range(L):
+        b_o = _dot(lab_ref[o, :, :], a2)  # (I, JC)
+        d_o = _dot((loss_der[o, :][:, None] * left), right, (((0,), (0,)), ((), ())))
+        b3.append(b_o)
+        db3.append(d_o)
+        s_B += jnp.sum(jnp.abs(b_o))
+        s_dB += jnp.sum(jnp.abs(d_o))
+
+    clip = jnp.where(s_dB > s_B, s_B / jnp.maximum(s_dB, 1e-30), 1.0)
+    step = lr * clip
+    bn = [b3[o] + step * db3[o] for o in range(L)]
+
+    if growth_cap > 0:
+        s_new = jnp.zeros((), jnp.float32)
+        for o in range(L):
+            s_new += jnp.sum(jnp.abs(bn[o]))
+        cap = (1.0 + growth_cap) * s_B
+        g_sc = jnp.where(s_new > cap, cap / jnp.maximum(s_new, 1e-30), 1.0)
+        bn = [bn[o] * g_sc for o in range(L)]
+
+    # f recompute with the updated B (stale right env):
+    # f_new[o,b] = sum_ai left[b,ai] * (bn[o] @ right^T)[ai,b]
+    fnew_rows = []
+    for o in range(L):
+        t_o = _dot(bn[o], right, (((1,), (1,)), ((), ())))  # (I, B)
+        fnew_rows.append(jnp.sum(left * t_o.T, axis=1))  # (B,)
+    fnew_ref[:, :] = jnp.stack(fnew_rows, axis=0)
+
+    # polar-NS canonical split of bmat (I, L*JC), accumulated label-major
+    n2 = jnp.zeros((), jnp.float32)
+    y = jnp.zeros((I, M), jnp.float32)
+    g = jnp.zeros((I, I), jnp.float32)
+    for o in range(L):
+        y += _dot(bn[o], om_ref[o, :, :])
+        g += _dot(bn[o], bn[o], (((1,), (1,)), ((), ())))
+        n2 += jnp.sum(bn[o] * bn[o])
+    g = g / jnp.maximum(n2, 1e-30)
+    y = _colnorm(y, dead_tol)
+    y = _polar_ns(y, loop_quintic, loop_cubic)
+    y = _dot(g, y)
+    y = _colnorm(y, dead_tol)
+    q = _polar_ns(y, final_quintic, final_cubic, n_cubic_hi=3)  # (I, M)
+
+    lenv_new = _dot(left, q)  # (B, M)
+    if renorm_envs:
+        gg = 1.0 / jnp.maximum(
+            jnp.mean(jnp.sqrt(jnp.sum(lenv_new * lenv_new, axis=1))), 1e-30
+        )
+        q_out = q * gg
+        lenv_new = lenv_new * gg
+        inv = 1.0 / gg
+    else:
+        q_out = q
+        inv = jnp.float32(1.0)
+
+    aleft_ref[:, :] = q_out
+    lenv_new_ref[:, :] = lenv_new
+    for o in range(L):
+        labnew_ref[o, :, :] = inv * _dot(
+            q, bn[o], (((0,), (0,)), ((), ()))
+        )  # (M, JC)
+
+    metr_ref[0, 0] = acc
+    metr_ref[0, 1] = mae
+    metr_ref[0, 2] = s_B
+    metr_ref[0, 3] = s_dB
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "act_fn", "loss_fn", "T", "renorm_envs", "growth_cap", "interpret",
+    ),
+)
+def two_site_step_pallas(
+    lab,        # (L, M*D, M) label-major carried core
+    a2,         # (M, D, M)
+    x1, x2,     # (B, D)
+    lenv, renv,  # (B, M)
+    y1h, f,     # (L, B)
+    lr,
+    act_fn: str = "linear",
+    loss_fn: str = "MSE",
+    T: float = 0.1,
+    renorm_envs: bool = False,
+    growth_cap: float = 0.0,
+    interpret: bool = False,
+):
+    """One fused two-site step. Returns ``(a_left (M*D, M), lab_new
+    (L, M, D*M), lenv_new (B, M), f_new (L, B), metrics (1, 4))``.
+
+    ``lab`` uses the label-major kernel layout; convert from the standard
+    ``label_site (M, D, L, M)`` with ``label_to_kernel_layout`` once per
+    sweep (the scan carries the kernel layout).
+    """
+    from tensornetworkforml_tpu.ops.svd import _rangefinder_omega
+
+    L, I, M = lab.shape
+    B, D = x1.shape
+    JC = D * M
+    dead_tol = 1e-6
+    # the SAME omega the standalone polar split uses for a (I, L*JC)
+    # matrix, pre-sliced per label block (rows o*JC:(o+1)*JC)
+    om = _rangefinder_omega(L * JC, M, jnp.float32).reshape(L, JC, M)
+    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _step_kernel,
+        act_fn=act_fn, loss_fn=loss_fn, T=T,
+        renorm_envs=renorm_envs, growth_cap=growth_cap,
+        dead_tol=dead_tol,
+        loop_quintic=7, loop_cubic=1, final_quintic=9, final_cubic=9,
+    )
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    a_left, lab_new, lenv_new, f_new, metrics = pl.pallas_call(
+        kernel,
+        in_specs=[
+            vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
+            vmem(),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            vmem(), vmem(), vmem(), vmem(),
+            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((I, M), jnp.float32),
+            jax.ShapeDtypeStruct((L, M, JC), jnp.float32),
+            jax.ShapeDtypeStruct((B, M), jnp.float32),
+            jax.ShapeDtypeStruct((L, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lab, a2.reshape(M, JC), x1, x2, lenv, renv, y1h, f, om, lr_arr)
+    return a_left, lab_new, lenv_new, f_new, metrics
+
+
+def label_to_kernel_layout(label_site):
+    """``(M, D, L, M) -> (L, M*D, M)`` (label-major rows = (a, i))."""
+    M, D, L, M2 = label_site.shape
+    return label_site.transpose(2, 0, 1, 3).reshape(L, M * D, M2)
+
+
+def label_from_kernel_layout(lab_new):
+    """``(L, M, D*M) -> (M, D, L, M)`` (the sweep's standard layout)."""
+    L, M, JC = lab_new.shape
+    D = JC // M
+    return lab_new.reshape(L, M, D, M).transpose(1, 2, 0, 3)

@@ -89,6 +89,15 @@ class SweepConfig(NamedTuple):
     # max fractional growth of sum|B| per step (0 = unlimited, reference
     # behaviour); e.g. 0.005 bounds per-sweep growth to (1.005)^N
     growth_cap: float = 0.0
+    # "xla" (default): the scan body is XLA ops + the configured split.
+    # "fused": the ENTIRE two-site step runs as ONE Pallas kernel per
+    # scan iteration (ops/kernels/step_kernel.py) -- merge, gradient,
+    # clip, update, f recompute, polar-NS split, env extension -- built
+    # against the measured ~2.5 us/op XLA latency floor. Requires
+    # split_mode="canonical", L2_flag=False, rank_mode="fixed",
+    # update_mode="clip", float32; M*D <= 256 (see ops/svd.py's Mosaic
+    # note).
+    engine: str = "xla"
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -277,6 +286,75 @@ def _sweep_right_arrays(
         # are untouched during a right sweep.
     else:
         r2 = jnp.zeros((N + 1, M, M), dtype=dtype)
+
+    if cfg.engine == "fused":
+        # whole-step Pallas engine: one kernel per scan iteration
+        import jax as _jax
+
+        from tensornetworkforml_tpu.ops.kernels.step_kernel import (
+            label_to_kernel_layout,
+            two_site_step_pallas,
+        )
+
+        if cfg.L2_flag or cfg.split_mode != "canonical" or (
+            cfg.rank_mode != "fixed" or cfg.update_mode != "clip"
+        ):
+            raise ValueError(
+                "engine='fused' requires split_mode='canonical', "
+                "L2_flag=False, rank_mode='fixed', update_mode='clip'"
+            )
+        interp = _jax.default_backend() != "tpu"
+        y1h32 = y_onehot.astype(jnp.float32)
+
+        def fstep(carry, x):
+            lab, l_env, f = carry
+            x1, x2, A2, r_env = x
+            a_left, lab_new, l_env_new, f_new, metr = two_site_step_pallas(
+                lab, A2, x1, x2, l_env, r_env, y1h32, f, lr,
+                act_fn=cfg.act_fn, loss_fn=cfg.loss_fn, T=T,
+                renorm_envs=cfg.renorm_envs, growth_cap=cfg.growth_cap,
+                interpret=interp,
+            )
+            # (L, M, D*M) -> (L, M*D, M): same contiguous (a', i', k')
+            lab_new = lab_new.reshape(L, M * D, M)
+            metrics = {
+                "accuracy": metr[0, 0].astype(dtype),
+                "MAE": metr[0, 1].astype(dtype),
+                "sum_abs_B": metr[0, 2].astype(dtype),
+                "sum_abs_deltaB": metr[0, 3].astype(dtype),
+                "mean_abs_f": jnp.mean(jnp.abs(f)),
+                "L2_loss": jnp.zeros((), dtype=dtype),
+                "sum_abs_L2_grad": jnp.zeros((), dtype=dtype),
+            }
+            return (lab_new, l_env_new, f_new), (
+                a_left.reshape(M, D, M).astype(dtype), metrics
+            )
+
+        finit = (
+            label_to_kernel_layout(label_site.astype(jnp.float32)),
+            jnp.broadcast_to(e0, (B_sz, M)).astype(jnp.float32),
+            f0.astype(jnp.float32),
+        )
+        fxs = (
+            phi_t[:-1].astype(jnp.float32),
+            phi_t[1:].astype(jnp.float32),
+            sites[1:].astype(jnp.float32),
+            r_envs[2:].astype(jnp.float32),
+        )
+        (lab_fin, _, f_final), (A_lefts, metrics) = jax.lax.scan(
+            fstep, finit, fxs
+        )
+        from tensornetworkforml_tpu.ops.kernels.step_kernel import (
+            label_from_kernel_layout,
+        )
+
+        label_final = label_from_kernel_layout(
+            lab_fin.reshape(L, M, D * M)
+        ).astype(dtype)
+        new_sites = jnp.concatenate(
+            [A_lefts, jnp.zeros((1, M, D, M), dtype=dtype)], axis=0
+        )
+        return new_sites, label_final, f0, f_final, metrics
 
     xs = (
         phi_t[:-1],  # x1s  (N-1,B,D)

@@ -191,3 +191,67 @@ def test_polar_split_sweep_trains_on_cpu():
             accs.append(float(acc))
     assert np.isfinite(np.asarray(mps.sites)).all()
     assert accs[-1] >= 0.95, accs
+
+
+def test_fused_step_engine_matches_xla_polar_path():
+    """engine='fused' (whole-step Pallas kernel) reproduces the XLA scan
+    body with svd_method='polar': identical omega/NS schedule, so network
+    OUTPUTS and metric series match to f32 noise (raw site tensors are
+    only gauge-equivalent -- the repo's parity convention)."""
+    from tensornetworkforml_tpu.models.mps import mps_forward, product_init
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+    from tensornetworkforml_tpu.train.sweep import SweepConfig, sweep_once
+
+    rng = np.random.default_rng(0)
+    N, M, L, B = 12, 8, 3, 16
+    mps = product_init(jax.random.PRNGKey(0), N=N, M=M, L=L,
+                       act_fn="linear", loss_fn="MSE", dtype=jnp.float32,
+                       calibration_x=rng.random((B, N)))
+    phi = psi_embed(jnp.asarray(rng.random((B, N)), dtype=jnp.float32))
+    y1h = jnp.asarray(np.eye(L, dtype=np.float32)[rng.integers(0, L, B)].T)
+
+    cfg_x = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                        split_mode="canonical", svd_method="polar")
+    cfg_f = cfg_x._replace(engine="fused")
+    mx, f0x, ffx, metx = sweep_once(mps, phi, y1h, 0.1, 1e-5, cfg_x)
+    mf, f0f, fff, metf = sweep_once(mps, phi, y1h, 0.1, 1e-5, cfg_f)
+    np.testing.assert_allclose(np.asarray(f0f), np.asarray(f0x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fff), np.asarray(ffx), atol=2e-4)
+    np.testing.assert_array_equal(
+        np.asarray(metf["accuracy"]), np.asarray(metx["accuracy"])
+    )
+    phi_p = psi_embed(jnp.asarray(rng.random((8, N)), dtype=jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(mf, phi_p)),
+        np.asarray(mps_forward(mx, phi_p)),
+        atol=2e-4,
+    )
+
+
+def test_fused_step_engine_trains_and_rejects_bad_configs():
+    from tensornetworkforml_tpu.data.diagonals import create_dataset
+    from tensornetworkforml_tpu.data.loader import prepare_dataset
+    from tensornetworkforml_tpu.models.mps import product_init
+    from tensornetworkforml_tpu.train.sweep import SweepConfig, train_batch
+
+    data, labels = create_dataset(256, linear_dim=4, sigma=0.5, seed=0)
+    tl, _, _ = prepare_dataset(data, labels, 1.0, 0.0, 64, 64, 64,
+                               embed=False, seed=1)
+    x_cal, _ = next(tl.batches())
+    mps = product_init(jax.random.PRNGKey(0), N=16, M=8, L=2,
+                       act_fn="linear", loss_fn="MSE", dtype=jnp.float32,
+                       calibration_x=x_cal)
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical", svd_method="polar",
+                      engine="fused")
+    accs = []
+    for _ in range(3):
+        for x, y in tl.batches():
+            mps, acc, _ = train_batch(mps, x, y, 0.1, 1e-5, cfg)
+            accs.append(float(acc))
+    assert accs[-1] >= 0.95, accs
+    assert np.isfinite(np.asarray(mps.sites)).all()
+
+    bad = cfg._replace(L2_flag=True)
+    with pytest.raises(ValueError, match="fused"):
+        train_batch(mps, x, y, 0.1, 1e-5, bad)
