@@ -87,8 +87,10 @@ def teacher_task(
     if noise is None:
         noise = 1.0 / np.sqrt(N)
     n_want = n_train + n_test
-    # oversample so the margin filter + class balancing can discard
-    n_cand = int(n_want / max(1e-6, 1.0 - margin) * 1.5) + L * 64
+    # oversample so the margin filter + class balancing can discard (2.2x:
+    # the argmax skew varies with backend matmul precision -- a 1.5x pool
+    # left one class 2% short on TPU bf16 passes where CPU f32 balanced)
+    n_cand = int(n_want / max(1e-6, 1.0 - margin) * 2.2) + L * 128
 
     # one independent calibrated single-output near-product teacher per
     # class (product_init: per-site data calibration keeps outputs O(1)
