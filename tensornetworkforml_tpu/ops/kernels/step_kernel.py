@@ -21,6 +21,15 @@ o, so all tensors keep ``(rows=a*i, cols=j*c)`` matmul layouts end to end:
     right factor R[o] = Q^T @ B3'[o]   -- stays label-major for the next
                  scan step; Q reshapes to the new left site tensor.
 
+Mosaic portability notes (bisected on hardware, round 3): the batch
+factors ``left (B, M*D)`` / ``right (B, D*M)`` must NOT be built by a
+lane-dimension broadcast+reshape or repeat/tile -- both crash the Mosaic
+verifier on this toolchain. They are built as MXU matmuls against 0/1
+expansion matrices generated in-kernel from ``broadcasted_iota``
+(left = (lenv @ RL) * (x1 @ TL)); all refs are kept 2-D (the label axis
+is flattened into rows and addressed with static slices), and per-label
+rows of outputs are written directly rather than ``jnp.stack``-ed.
+
 The reference computes this step as ~200 lines of sequential NumPy
 (``Network_class.py:440-763``); the XLA scan port pays per-op latency.
 
@@ -48,8 +57,30 @@ from tensornetworkforml_tpu.ops.kernels.polar_split import (
 _HI = jax.lax.Precision.HIGHEST
 
 
+def _expand_matmul_factors(n_small, d, n_out, major="small"):
+    """0/1 expansion matrices for lane-dim expansion WITHOUT reshape.
+
+    Returns ``(R (n_small, n_out), T (d, n_out))`` f32 such that for
+    ``major='small'`` (out index = a*d + i):
+        (v @ R)[b, a*d+i] = v[b, a]   and   (w @ T)[b, a*d+i] = w[b, i];
+    for ``major='d'`` (out index = j*n_small + c) the roles flip.
+    Built from ``broadcasted_iota`` so Mosaic never sees a lane reshape.
+    """
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_small, n_out), 1)
+    row_s = jax.lax.broadcasted_iota(jnp.int32, (n_small, n_out), 0)
+    col_d = jax.lax.broadcasted_iota(jnp.int32, (d, n_out), 1)
+    row_d = jax.lax.broadcasted_iota(jnp.int32, (d, n_out), 0)
+    if major == "small":
+        r = (col // d == row_s).astype(jnp.float32)
+        t = (col_d % d == row_d).astype(jnp.float32)
+    else:
+        r = (col % n_small == row_s).astype(jnp.float32)
+        t = (col_d // n_small == row_d).astype(jnp.float32)
+    return r, t
+
+
 def _step_kernel(
-    lab_ref,      # (L, I, M)   label core, I = M*D
+    lab_ref,      # (L*I, M)    label core, label-major rows, I = M*D
     a2_ref,       # (M, JC)     right neighbour, JC = D*M
     x1_ref,       # (B, D)
     x2_ref,       # (B, D)
@@ -57,11 +88,11 @@ def _step_kernel(
     renv_ref,     # (B, M)
     y1h_ref,      # (L, B)
     f_ref,        # (L, B)
-    om_ref,       # (L, JC, M)  label-sliced sketch matrix
+    om_ref,       # (L*JC, M)   label-sliced sketch matrix
     lr_ref,       # (1, 1) SMEM
     # outputs
     aleft_ref,    # (I, M)
-    labnew_ref,   # (L, M, JC)  next step's label core (label-major)
+    labnew_ref,   # (L*M, JC)   next step's label core (label-major rows)
     lenv_new_ref,  # (B, M)
     fnew_ref,     # (L, B)
     metr_ref,     # (1, 4) SMEM: acc, mae, sum|B|, sum|dB|
@@ -82,39 +113,46 @@ def _step_kernel(
         loss_derivative,
     )
 
-    L, I, M = lab_ref.shape
-    B, D = x1_ref.shape
+    M = lenv_ref.shape[1]
+    L, B = f_ref.shape
+    D = x1_ref.shape[1]
+    I = M * D
     JC = a2_ref.shape[1]
     lr = lr_ref[0, 0]
 
     f = f_ref[:, :]
     y1h = y1h_ref[:, :]
     f_act = apply_act_fn(f, act_fn, T)
-    y_pred = jnp.argmax(f_act, axis=0)
-    y_true = jnp.argmax(y1h, axis=0)
-    acc = jnp.mean((y_pred == y_true).astype(jnp.float32))
+    # accuracy via the one-hot/max trick (argmax lowering is avoided):
+    # a sample counts as correct iff its TRUE label row attains the max
+    # activation -- identical to argmax-agreement except on exact ties.
+    fmax = jnp.max(f_act, axis=0, keepdims=True)
+    hit = jnp.sum(y1h * (f_act >= fmax).astype(jnp.float32), axis=0)
+    acc = jnp.mean((hit > 0.0).astype(jnp.float32))
     mae = jnp.mean(jnp.abs(y1h - f_act))
     loss_der = loss_derivative(f_act, y1h, loss_fn, act_fn, T)  # (L, B)
 
     # left/right batch factors: (B, I) and (B, JC) -- outer products of
-    # the environment with the site input, kept flat
-    lenv = lenv_ref[:, :]
-    renv = renv_ref[:, :]
-    x1 = x1_ref[:, :]
-    x2 = x2_ref[:, :]
-    left = (lenv[:, :, None] * x1[:, None, :]).reshape(B, I)
-    right = (x2[:, :, None] * renv[:, None, :]).reshape(B, JC)
+    # the environment with the site input. Built MXU-side via 0/1
+    # expansion matmuls (lane broadcast/reshape crashes Mosaic here).
+    rl, tl = _expand_matmul_factors(M, D, I, major="small")
+    rr, tr = _expand_matmul_factors(M, D, JC, major="d")
+    left = _dot(lenv_ref[:, :], rl) * _dot(x1_ref[:, :], tl)    # (B, I)
+    right = _dot(x2_ref[:, :], tr) * _dot(renv_ref[:, :], rr)   # (B, JC)
 
     a2 = a2_ref[:, :]
 
-    # per-label merge + gradient + clip statistics, accumulated flat
+    # per-label merge + gradient + clip statistics
     s_B = jnp.zeros((), jnp.float32)
     s_dB = jnp.zeros((), jnp.float32)
     b3 = []
     db3 = []
     for o in range(L):
-        b_o = _dot(lab_ref[o, :, :], a2)  # (I, JC)
-        d_o = _dot((loss_der[o, :][:, None] * left), right, (((0,), (0,)), ((), ())))
+        b_o = _dot(lab_ref[o * I:(o + 1) * I, :], a2)  # (I, JC)
+        d_o = _dot(
+            (loss_der[o, :][:, None] * left), right,
+            (((0,), (0,)), ((), ())),
+        )
         b3.append(b_o)
         db3.append(d_o)
         s_B += jnp.sum(jnp.abs(b_o))
@@ -134,18 +172,16 @@ def _step_kernel(
 
     # f recompute with the updated B (stale right env):
     # f_new[o,b] = sum_ai left[b,ai] * (bn[o] @ right^T)[ai,b]
-    fnew_rows = []
     for o in range(L):
         t_o = _dot(bn[o], right, (((1,), (1,)), ((), ())))  # (I, B)
-        fnew_rows.append(jnp.sum(left * t_o.T, axis=1))  # (B,)
-    fnew_ref[:, :] = jnp.stack(fnew_rows, axis=0)
+        fnew_ref[o, :] = jnp.sum(left * t_o.T, axis=1)
 
     # polar-NS canonical split of bmat (I, L*JC), accumulated label-major
     n2 = jnp.zeros((), jnp.float32)
     y = jnp.zeros((I, M), jnp.float32)
     g = jnp.zeros((I, I), jnp.float32)
     for o in range(L):
-        y += _dot(bn[o], om_ref[o, :, :])
+        y += _dot(bn[o], om_ref[o * JC:(o + 1) * JC, :])
         g += _dot(bn[o], bn[o], (((1,), (1,)), ((), ())))
         n2 += jnp.sum(bn[o] * bn[o])
     g = g / jnp.maximum(n2, 1e-30)
@@ -170,7 +206,7 @@ def _step_kernel(
     aleft_ref[:, :] = q_out
     lenv_new_ref[:, :] = lenv_new
     for o in range(L):
-        labnew_ref[o, :, :] = inv * _dot(
+        labnew_ref[o * M:(o + 1) * M, :] = inv * _dot(
             q, bn[o], (((0,), (0,)), ((), ()))
         )  # (M, JC)
 
@@ -214,8 +250,8 @@ def two_site_step_pallas(
     JC = D * M
     dead_tol = 1e-6
     # the SAME omega the standalone polar split uses for a (I, L*JC)
-    # matrix, pre-sliced per label block (rows o*JC:(o+1)*JC)
-    om = _rangefinder_omega(L * JC, M, jnp.float32).reshape(L, JC, M)
+    # matrix; kept 2-D (L*JC, M) -- the kernel slices per-label row blocks
+    om = _rangefinder_omega(L * JC, M, jnp.float32)
     lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
 
     kernel = functools.partial(
@@ -226,7 +262,7 @@ def two_site_step_pallas(
         loop_quintic=7, loop_cubic=1, final_quintic=9, final_cubic=9,
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    a_left, lab_new, lenv_new, f_new, metrics = pl.pallas_call(
+    a_left, lab_new2, lenv_new, f_new, metrics = pl.pallas_call(
         kernel,
         in_specs=[
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
@@ -239,14 +275,17 @@ def two_site_step_pallas(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((I, M), jnp.float32),
-            jax.ShapeDtypeStruct((L, M, JC), jnp.float32),
+            jax.ShapeDtypeStruct((L * M, JC), jnp.float32),
             jax.ShapeDtypeStruct((B, M), jnp.float32),
             jax.ShapeDtypeStruct((L, B), jnp.float32),
             jax.ShapeDtypeStruct((1, 4), jnp.float32),
         ),
         interpret=interpret,
-    )(lab, a2.reshape(M, JC), x1, x2, lenv, renv, y1h, f, om, lr_arr)
-    return a_left, lab_new, lenv_new, f_new, metrics
+    )(
+        lab.reshape(L * I, M), a2.reshape(M, JC), x1, x2, lenv, renv,
+        y1h, f, om, lr_arr,
+    )
+    return a_left, lab_new2.reshape(L, M, JC), lenv_new, f_new, metrics
 
 
 def label_to_kernel_layout(label_site):
