@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "compounds like (1+lr)^N and lr must scale as 1/N "
                         "(measured: 0.002 holds stable 1.0 val at N=784 "
                         "where 0.03 explodes by sweep 3)")
+    p.add_argument("--lr_decay", type=float, default=None,
+                   help="per-epoch geometric lr decay for the two-site "
+                        "trainer (lr * decay^epoch). Default: 1.0 (off) "
+                        "below bond dimension 64, 0.6 at M >= 64 -- the "
+                        "greedy bond optimisation converges in 1-2 epochs "
+                        "at large M and further full-rate sweeps walk the "
+                        "model out of the optimum (measured M=64: val "
+                        "1.0 -> 0.19 by epoch 5 without decay)")
     p.add_argument("--weight_dec", type=float, default=1e-5)
     p.add_argument("--act_fn", type=str, default="linear")
     p.add_argument("--loss_fn", type=str, default="MSE")
@@ -85,6 +93,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "wide-spectrum regimes; polar is the fused Pallas "
                         "kernel split (2.1x faster sweeps than cholqr at "
                         "M=128 on TPU, equivalent capture/isometry)")
+    p.add_argument("--renorm_envs", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="norm-transfer gauge for canonical two-site "
+                        "sweeps: rescale the carried left environment to "
+                        "unit mean norm each step, absorbing the factor "
+                        "into the label core. 'auto' (default) enables it "
+                        "for long chains (N > 400) OR bond dimension "
+                        ">= 64: without it the label core runs hot at "
+                        "large M (measured 2.4e3..4.7e4 by sweep 8 at "
+                        "M >= 64, chance-level accuracy; with it M=256 "
+                        "reaches test 1.000, results/large_m_gate.json)")
     p.add_argument("--trainer", type=str, default="twosite",
                    choices=["twosite", "onesite", "brickwall"],
                    help="onesite: SVD-free boundary-label sweeps (~7x "
@@ -172,6 +191,25 @@ def main(argv=None):
             int(e): int(m)
             for e, m in (kv.split(":") for kv in args.bond_schedule.split(","))
         }
+
+    # norm-transfer gauge (see --renorm_envs help): auto-on for long
+    # chains or large bond dimension, including schedule targets
+    max_m = max([args.M, *(bond_schedule or {}).values()])
+    renorm = {
+        "auto": long_chain or max_m >= 64, "on": True, "off": False,
+    }[args.renorm_envs]
+    # large-M recipe (results/large_m_gate.json + BENCH_NOTES round 3):
+    # the gauge alone is not enough -- at M >= 64 the greedy sweeps also
+    # need a growth cap and per-epoch lr decay or they walk back out of
+    # the epoch-1 optimum
+    lr_decay = (
+        args.lr_decay if args.lr_decay is not None
+        else (0.6 if max_m >= 64 else 1.0)
+    )
+    if max_m >= 64 and args.lr is None:
+        lr = min(lr, 0.02)
+    if max_m >= 64 and not long_chain:
+        growth_cap = growth_cap or 0.002
 
     x_cal, _ = next(train_loader.batches())
 
@@ -264,7 +302,7 @@ def main(argv=None):
         cfg = SweepConfig(act_fn=args.act_fn, loss_fn=args.loss_fn,
                           L2_flag=False, split_mode="canonical",
                           svd_method=args.svd_method,
-                          renorm_envs=long_chain, growth_cap=growth_cap)
+                          renorm_envs=renorm, growth_cap=growth_cap)
         start_epoch = 0
         if args.checkpoint and args.resume:
             import os as _os
@@ -289,6 +327,7 @@ def main(argv=None):
         )
         val_acc = []
         for epoch in range(start_epoch, args.n_epochs):
+            trainer.lr = lr * lr_decay ** epoch
             loader = warm_loader if epoch < warmup_epochs else train_loader
             accs = [trainer.step(x, y) for x, y in loader.batches()]
             val = evaluate_accuracy(trainer.mps, val_loader)
@@ -303,11 +342,15 @@ def main(argv=None):
         mps = trainer.mps
         var_hist = None
     else:
+        lr_arg = (
+            lr if lr_decay == 1.0
+            else (lambda e, _lr=lr, _d=lr_decay: _lr * _d ** e)
+        )
         mps, val_acc, var_hist = train_model(
-            mps, train_loader, val_loader, lr=lr,
+            mps, train_loader, val_loader, lr=lr_arg,
             n_epochs=args.n_epochs, weight_dec=args.weight_dec,
             L2_flag=False, split_mode="canonical",
-            svd_method=args.svd_method, renorm_envs=long_chain,
+            svd_method=args.svd_method, renorm_envs=renorm,
             growth_cap=growth_cap, checkpoint_path=args.checkpoint,
             resume=args.resume, warmup_epochs=warmup_epochs,
             bond_schedule=bond_schedule,

@@ -119,6 +119,24 @@ def _polar_ns(y, n_quintic: int, n_cubic: int, n_cubic_hi: int = 0):
     return y
 
 
+def _tile_j(I: int, J: int):
+    """J-tiling for the (I, tj) input blocks: chunk width is a multiple
+    of 128 (Mosaic lane constraint), <= 2048 columns, AND capped so one
+    block stays <= 2 MB. The byte cap is load-bearing: Mosaic's remote
+    compiler crashes (tpu_compile_helper exit 1) for blocks >= ~3 MB --
+    bisected on hardware round 3: (384, 2048) f32 crashes while
+    (384, 1024), (512, 1024), and (320, 2048) compile. This was
+    previously misattributed to the ROW count (the old 'I >= 384'
+    limitation); with the cap every I up to >= 1024 compiles.
+    Returns ``(nc, tj, pad)`` with ``nc * tj = J + pad``.
+    """
+    tj_cap = min(2048, max(128, 128 * ((2 ** 19 // max(I, 1)) // 128)))
+    nc = max(1, -(-J // tj_cap))
+    tj = 128 * (-(-J // (nc * 128)))
+    pad = nc * tj - J
+    return nc, tj, pad
+
+
 def _polar_split_kernel(
     b_ref, om_ref, q_ref, y_acc, g_acc, n2_acc, *,
     n_power: int, loop_quintic: int, loop_cubic: int, final_quintic: int,
@@ -183,14 +201,12 @@ def polar_split_pallas(
     if bmat.dtype not in (jnp.float32,):
         bmat = bmat.astype(jnp.float32)
 
-    # J-tiling: chunks of <= ~2048 columns keep the double-buffered input
-    # blocks + scratch inside the ~16 MB VMEM at any bond dimension (a
-    # 4096 chunk at M=256 overflowed VMEM: 2x(5.2 + 2.6) MB inputs alone).
-    # Chunk width must be a multiple of 128 (Mosaic lane-dim constraint on
-    # the b block / sublane on the om block); pad J up with zero columns.
-    nc = max(1, -(-J // 2048))
-    tj = 128 * (-(-J // (nc * 128)))
-    pad = nc * tj - J
+    # J-tiling: see _tile_j -- <= 2048-column chunks keep the
+    # double-buffered input blocks + scratch inside the ~16 MB VMEM at any
+    # bond dimension (a 4096 chunk at M=256 overflowed VMEM), and the 2 MB
+    # per-block byte cap avoids the Mosaic remote-compiler crash at large
+    # I x tj; pad J up with zero columns.
+    nc, tj, pad = _tile_j(I, J)
     if pad:
         bmat = jnp.concatenate(
             [bmat, jnp.zeros((I, pad), dtype=bmat.dtype)], axis=1
@@ -231,10 +247,15 @@ def polar_split_pallas(
 
 
 # ---------------------------------------------------------------------------
-# Two-stage form for GSPMD composition (parallel/dist_split.py): stage 1
-# accumulates the J-carrying reductions per shard (one Pallas kernel each),
-# a psum merges them across the mesh, stage 2 runs the replicated subspace
-# iteration (second Pallas kernel). Same math as the fused kernel above.
+# Two-stage form, used two ways: (a) GSPMD composition
+# (parallel/dist_split.py): stage 1 accumulates the J-carrying reductions
+# per shard (one Pallas kernel each), a psum merges them across the mesh,
+# stage 2 runs the replicated subspace iteration (second Pallas kernel);
+# (b) LARGE single-device splits (polar_split_two_stage below): the fused
+# kernel's Mosaic compile crashes for I > 384 (the unrolled NS-iteration
+# phase inside the same program -- the standalone stages compile and run
+# at I = 512 where the fused kernel does not; bisected on hardware round
+# 3). Same math as the fused kernel above.
 # ---------------------------------------------------------------------------
 
 
@@ -274,9 +295,7 @@ def polar_sketch_gram_pallas(bmat, om, interpret: bool = False):
     the omega ROWS matching B's columns."""
     I, J = bmat.shape
     q_cols = om.shape[1]
-    nc = max(1, -(-J // 2048))
-    tj = 128 * (-(-J // (nc * 128)))
-    pad = nc * tj - J
+    nc, tj, pad = _tile_j(I, J)
     if pad:
         z = jnp.zeros((I, pad), dtype=bmat.dtype)
         bmat = jnp.concatenate([bmat, z], axis=1)
@@ -342,3 +361,52 @@ def polar_iterate_pallas(
         out_shape=jax.ShapeDtypeStruct((I, q_cols), jnp.float32),
         interpret=interpret,
     )(y, g, n2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "rank", "n_power", "loop_quintic", "loop_cubic", "final_quintic",
+        "final_cubic", "interpret",
+    ),
+)
+def polar_split_two_stage(
+    bmat: jnp.ndarray,
+    rank: int,
+    n_power: int = 1,
+    loop_quintic: int = 7,
+    loop_cubic: int = 1,
+    final_quintic: int = 9,
+    final_cubic: int = 9,
+    interpret: bool = False,
+):
+    """Same contract as ``polar_split_pallas`` but as TWO Mosaic programs
+    (sketch/Gram, then the subspace iteration). One extra kernel dispatch
+    per split, but it compiles at I = 512 (M = 256) where the fused
+    kernel's NS-unroll phase crashes Mosaic; the I <= 384 flagship shapes
+    keep the fused single-program path (``ops/svd.py`` dispatches).
+    NOTE n_power is fixed at 1 here (the stage-2 kernel's contract).
+    """
+    from tensornetworkforml_tpu.ops.svd import _rangefinder_omega
+
+    I, J = bmat.shape
+    q_cols = min(rank, I)
+    out_dtype = bmat.dtype
+    dead_tol = 1e-6 if bmat.dtype != jnp.float64 else 1e-12
+    if bmat.dtype not in (jnp.float32,):
+        bmat = bmat.astype(jnp.float32)
+    om = _rangefinder_omega(J, q_cols, bmat.dtype)
+    y, g, n2 = polar_sketch_gram_pallas(bmat, om, interpret=interpret)
+    q = polar_iterate_pallas(  # the iterate kernel divides g by n2 itself
+        y, g, n2,
+        n_power=n_power, loop_quintic=loop_quintic, loop_cubic=loop_cubic,
+        final_quintic=final_quintic, final_cubic=final_cubic,
+        dead_tol=dead_tol, interpret=interpret,
+    )
+    if q_cols < rank:
+        q = jnp.concatenate(
+            [q, jnp.zeros((I, rank - q_cols), dtype=q.dtype)], axis=1
+        )
+    with jax.default_matmul_precision("float32"):
+        r = q.T @ bmat
+    return q.astype(out_dtype), r.astype(out_dtype)

@@ -142,48 +142,89 @@ def _step_kernel(
 
     a2 = a2_ref[:, :]
 
-    # per-label merge + gradient + clip statistics
-    s_B = jnp.zeros((), jnp.float32)
-    s_dB = jnp.zeros((), jnp.float32)
-    b3 = []
-    db3 = []
-    for o in range(L):
-        b_o = _dot(lab_ref[o * I:(o + 1) * I, :], a2)  # (I, JC)
-        d_o = _dot(
-            (loss_der[o, :][:, None] * left), right,
-            (((0,), (0,)), ((), ())),
-        )
-        b3.append(b_o)
-        db3.append(d_o)
-        s_B += jnp.sum(jnp.abs(b_o))
-        s_dB += jnp.sum(jnp.abs(d_o))
+    # merge: ALL labels in one MXU matmul -- rows of lab are already
+    # label-major (o, ai) blocks
+    b3_all = _dot(lab_ref[:, :], a2)  # (L*I, JC)
+    s_B = jnp.sum(jnp.abs(b3_all))
+
+    # Gradient + f-recompute come in two shape-selected forms. BATCHED:
+    # all labels in 3 big matmuls via iota-built row-expansion matrices
+    # (sublane expansion kept in matmul form; lane expansion crashes
+    # Mosaic) -- fastest, but its (L*I, B)/(L*I, JC) temporaries blow the
+    # Mosaic compiler above ~2 MB each (L*I*B f32 at M=128/L=10/B=256
+    # crashes; M=64 compiles -- bisected on hardware). LOOPED: per-label
+    # small matmuls, ~flat VMEM, works at every M the polar split itself
+    # supports.
+    batched = (L * I * max(B, JC) * 4) <= 2 ** 21
+    if batched:
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (L * I, 1), 0)
+        el = (rowi // I == jax.lax.broadcasted_iota(
+            jnp.int32, (L * I, L), 1)).astype(jnp.float32)     # (L*I, L)
+        tl_m = (rowi % I == jax.lax.broadcasted_iota(
+            jnp.int32, (L * I, I), 1)).astype(jnp.float32)     # (L*I, I)
+        tile_left = _dot(tl_m, left, (((1,), (1,)), ((), ())))  # (L*I, B)
+        wl = _dot(el, loss_der) * tile_left                    # (L*I, B)
+        db3_all = _dot(wl, right)                              # (L*I, JC)
+    else:
+        db3_all = None
+        db3 = [
+            _dot((loss_der[o, :][:, None] * left), right,
+                 (((0,), (0,)), ((), ())))
+            for o in range(L)
+        ]
+
+    if batched:
+        s_dB = jnp.sum(jnp.abs(db3_all))
+    else:
+        s_dB = jnp.zeros((), jnp.float32)
+        for o in range(L):
+            s_dB += jnp.sum(jnp.abs(db3[o]))
 
     clip = jnp.where(s_dB > s_B, s_B / jnp.maximum(s_dB, 1e-30), 1.0)
     step = lr * clip
-    bn = [b3[o] + step * db3[o] for o in range(L)]
+    if batched:
+        bn_all = b3_all + step * db3_all
+    else:
+        bn_list = [
+            b3_all[o * I:(o + 1) * I, :] + step * db3[o] for o in range(L)
+        ]
 
     if growth_cap > 0:
-        s_new = jnp.zeros((), jnp.float32)
-        for o in range(L):
-            s_new += jnp.sum(jnp.abs(bn[o]))
+        if batched:
+            s_new = jnp.sum(jnp.abs(bn_all))
+        else:
+            s_new = jnp.zeros((), jnp.float32)
+            for o in range(L):
+                s_new += jnp.sum(jnp.abs(bn_list[o]))
         cap = (1.0 + growth_cap) * s_B
         g_sc = jnp.where(s_new > cap, cap / jnp.maximum(s_new, 1e-30), 1.0)
-        bn = [bn[o] * g_sc for o in range(L)]
+        if batched:
+            bn_all = bn_all * g_sc
+        else:
+            bn_list = [bn_list[o] * g_sc for o in range(L)]
 
     # f recompute with the updated B (stale right env):
     # f_new[o,b] = sum_ai left[b,ai] * (bn[o] @ right^T)[ai,b]
-    for o in range(L):
-        t_o = _dot(bn[o], right, (((1,), (1,)), ((), ())))  # (I, B)
-        fnew_ref[o, :] = jnp.sum(left * t_o.T, axis=1)
+    if batched:
+        tall = _dot(bn_all, right, (((1,), (1,)), ((), ())))   # (L*I, B)
+        fnew_ref[:, :] = _dot(el, tall * tile_left,
+                              (((0,), (0,)), ((), ())))        # (L, B)
+        bn = [bn_all[o * I:(o + 1) * I, :] for o in range(L)]
+        n2 = jnp.sum(bn_all * bn_all)
+    else:
+        bn = bn_list
+        n2 = jnp.zeros((), jnp.float32)
+        for o in range(L):
+            t_o = _dot(bn[o], right, (((1,), (1,)), ((), ())))  # (I, B)
+            fnew_ref[o, :] = jnp.sum(left * t_o.T, axis=1)
+            n2 += jnp.sum(bn[o] * bn[o])
 
     # polar-NS canonical split of bmat (I, L*JC), accumulated label-major
-    n2 = jnp.zeros((), jnp.float32)
     y = jnp.zeros((I, M), jnp.float32)
     g = jnp.zeros((I, I), jnp.float32)
     for o in range(L):
         y += _dot(bn[o], om_ref[o * JC:(o + 1) * JC, :])
         g += _dot(bn[o], bn[o], (((1,), (1,)), ((), ())))
-        n2 += jnp.sum(bn[o] * bn[o])
     g = g / jnp.maximum(n2, 1e-30)
     y = _colnorm(y, dead_tol)
     y = _polar_ns(y, loop_quintic, loop_cubic)

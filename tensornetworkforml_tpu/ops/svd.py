@@ -120,18 +120,28 @@ def truncated_svd_split(
             polar_split_pallas,
         )
 
-        if bmat.shape[0] > 256 and jax.default_backend() == "tpu":
-            # Known limitation (round 3): Mosaic's remote compiler crashes
-            # (tpu_compile_helper exit 1, no diagnostic) for this kernel at
-            # I >= 384 -- bisected to the row count, reproduced even for
-            # the 3-matmul sketch/Gram stage. Until root-caused, M >= 192
-            # two-site splits take the XLA cholqr path (same contract,
-            # 147 ms/sweep at M=256 -- measured, fine for quality runs).
+        # Mosaic compile limits, bisected on hardware (round 3): the
+        # original "I >= 384 crashes" was two separate block-byte limits.
+        # (a) Input blocks >= ~3 MB crash the remote compiler -- fixed by
+        # the 2 MB J-tile cap (polar_split._tile_j), which unlocks the
+        # fused kernel through I = 384 (M = 192). (b) The fused kernel's
+        # unrolled NS phase still crashes above that; the TWO-STAGE form
+        # (sketch/Gram kernel + iterate kernel) compiles and runs at
+        # I = 512 (M = 256, iso 2.4e-7 on hardware). (c) At I = 1024 the
+        # (I, I) Gram output block itself exceeds the ~3 MB limit --
+        # M >= 512 splits take the XLA cholqr path (same contract).
+        I = bmat.shape[0]
+        on_tpu = jax.default_backend() == "tpu"
+        if I > 512 and on_tpu:
             q, r = batched_cholqr_split(bmat[None], rank)
             return q[0], r[0]
-        return polar_split_pallas(
-            bmat, rank, interpret=jax.default_backend() != "tpu"
-        )
+        if I > 384 and on_tpu:
+            from tensornetworkforml_tpu.ops.kernels.polar_split import (
+                polar_split_two_stage,
+            )
+
+            return polar_split_two_stage(bmat, rank)
+        return polar_split_pallas(bmat, rank, interpret=not on_tpu)
     elif method == "rangefinder":
         # auto-dispatch: above the crossover the fused Pallas kernel beats
         # the XLA qr/eigh chain (whose latency grows badly with size):

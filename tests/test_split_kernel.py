@@ -255,3 +255,24 @@ def test_fused_step_engine_trains_and_rejects_bad_configs():
     bad = cfg._replace(L2_flag=True)
     with pytest.raises(ValueError, match="fused"):
         train_batch(mps, x, y, 0.1, 1e-5, bad)
+
+
+def test_polar_two_stage_matches_fused():
+    """polar_split_two_stage (the I > 384 TPU dispatch, ops/svd.py) is the
+    SAME math as the fused kernel split across two programs: identical
+    omega and NS schedule, so Q and R agree to f32 noise."""
+    from tensornetworkforml_tpu.ops.kernels.polar_split import (
+        polar_split_pallas,
+        polar_split_two_stage,
+    )
+
+    b = jnp.asarray(_gapped_matrix(128, 1280, 64, seed=7), dtype=jnp.float32)
+    q1, r1 = polar_split_pallas(b, 64, interpret=True)
+    q2, r2 = polar_split_two_stage(b, 64, interpret=True)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-4)
+    # and the contract holds standalone at a two-site shape
+    s_true = np.linalg.svd(np.asarray(b), compute_uv=False)
+    cap = (np.asarray(r2) ** 2).sum() / (s_true[:64] ** 2).sum()
+    iso = np.abs(np.asarray(q2).T @ np.asarray(q2) - np.eye(64)).max()
+    assert cap > 1 - 1e-5 and iso < 1e-4
