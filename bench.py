@@ -214,13 +214,30 @@ def main():
     # actually loaded, with analytic FLOPs and MFU -- for the exact-SVD
     # split and for the TPU-fast rangefinder split (ops/svd.py).
     if not args.skip_high_m:
-        for key, method in (("high_m", "svd"),
-                            ("high_m_rangefinder", "rangefinder"),
-                            ("high_m_cholqr", "cholqr"),
-                            ("high_m_polar", "polar")):
+        for key, method, m_dim, n_reps in (
+                ("high_m", "svd", 128, 8),
+                ("high_m_rangefinder", "rangefinder", 128, 8),
+                ("high_m_cholqr", "cholqr", 128, 8),
+                ("high_m_polar", "polar", 128, 8),
+                # M=256 stretch (BASELINE CIFAR family): polar dispatches
+                # to the two-stage Pallas split (round 3) -- 1.5x cholqr
+                ("stretch_m256_polar", "polar", 256, 4)):
             try:
-                result[key] = _high_m_point(jax, jnp, dtype, method=method)
+                result[key] = _high_m_point(
+                    jax, jnp, dtype, method=method, M=m_dim, reps=n_reps
+                )
             except Exception as e:  # never lose the headline to extras
+                result[key + "_error"] = f"{type(e).__name__}: {e}"
+        # MXU-filling batches (round 3): the polar split is B-independent,
+        # so large batches scale useful FLOPs at near-constant sweep
+        # latency -- B=2048 is 5.3x the B=256 throughput on one core
+        for key, b_sz in (("high_m_polar_b1024", 1024),
+                          ("high_m_polar_b2048", 2048)):
+            try:
+                result[key] = _high_m_point(
+                    jax, jnp, dtype, method="polar", B=b_sz, reps=6
+                )
+            except Exception as e:
                 result[key + "_error"] = f"{type(e).__name__}: {e}"
         try:
             result["inference"] = _inference_point(jax, jnp, dtype)
@@ -312,6 +329,7 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
         "sweep_ms": round(sweep_s * 1e3, 2),
         "step_us": round(sweep_s / (N - 1) * 1e6, 1),
         "sweep_gflops_analytic": round(flops / 1e9, 2),
+        "samples_per_s": round(B / sweep_s),
     }
     if jax.default_backend() == "tpu":
         point["mfu"] = round(flops / sweep_s / V5E_PEAK_FLOPS, 5)
