@@ -134,7 +134,7 @@ def train_model(
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
     warmup_epochs: int = 0,
-    warmup_batch_divisor: int = 2,
+    warmup_batch_divisor: Optional[int] = None,
     bond_schedule: Optional[dict] = None,
 ):
     """Train an MPS; returns ``(mps, val_acc, var_hist)``.
@@ -159,8 +159,14 @@ def train_model(
     warmup_batch_divisor``. Large clean batches settle into init-dependent
     attractors of the greedy bond-wise optimisation (measured: 0.20
     final-val spread across seeds at B=256, flat for 8+ epochs; the same
-    seeds reach ~1.0 at B=128) -- one half-batch warmup epoch restores the
-    small-batch basin and the large batch then holds it (spread 0.037).
+    seeds reach ~1.0 at B=128) -- a warmup epoch in the small-batch basin
+    restores it and the large batch then holds it (spread 0.037). The
+    active ingredient is the ABSOLUTE warmup batch size, not the ratio:
+    at B=1024 a half-batch (512) warmup still lands at test 0.71 while a
+    B=128 warmup reaches 0.97+ (round 3, results/large_batch_quality.json).
+    ``warmup_batch_divisor=None`` (default) therefore picks the divisor
+    that lands the warmup at <= 128 samples (``max(2, batch_size//128)``);
+    pass an int to override.
     Requires an ``ArrayLoader`` train loader; with warmup the per-epoch
     step counts differ, so ``var_hist`` is returned as an object array.
 
@@ -204,9 +210,14 @@ def train_model(
             raise ValueError(
                 "warmup_epochs requires an ArrayLoader train loader"
             )
+        divisor = (
+            warmup_batch_divisor
+            if warmup_batch_divisor is not None
+            else max(2, train_loader.batch_size // 128)
+        )
         warm_loader = with_batch_size(
             train_loader,
-            max(1, train_loader.batch_size // warmup_batch_divisor),
+            max(1, train_loader.batch_size // divisor),
             even_batches=True,
         )
 
@@ -350,7 +361,7 @@ class Trainer:
         fused: bool = True,
         verbose: bool = True,
         warmup_epochs: int = 0,
-        warmup_batch_divisor: int = 2,
+        warmup_batch_divisor: Optional[int] = None,
         bond_schedule: Optional[dict] = None,
     ):
         self.lr = lr

@@ -52,3 +52,23 @@ def test_train_model_warmup_epochs():
     steps0 = var_hist[0][0].shape[-1]
     steps1 = var_hist[1][0].shape[-1]
     assert steps0 == 2 * steps1
+
+
+def test_warmup_default_lands_at_128():
+    """The default divisor targets an ABSOLUTE warmup batch of <= 128
+    (round 3: at B=1024 a half-batch warmup still fails, test 0.71 vs
+    0.97 with a B=128 warmup -- results/large_batch_quality.json), while
+    small batches keep the round-2 half-batch behaviour."""
+    rng = np.random.default_rng(2)
+    N, L, B = 6, 2, 512
+    ds = NumpyDataset(rng.random((2 * B, N)), rng.integers(0, L, 2 * B))
+    train_loader = ArrayLoader(ds, B, shuffle=True, drop_last=True, seed=0)
+    val_loader = ArrayLoader(ds, 256)
+    mps = mps_init(jax.random.PRNGKey(0), N=N, M=4, L=L, act_fn="softmax",
+                   loss_fn="cross_entropy", dtype=jnp.float32)
+    _, _, var_hist = train_model(
+        mps, train_loader, val_loader, lr=0.05, n_epochs=2,
+        warmup_epochs=1, verbose=False,
+    )
+    # B=512 -> divisor max(2, 512//128)=4 -> warmup batch 128 -> 4x steps
+    assert var_hist[0][0].shape[-1] == 4 * var_hist[1][0].shape[-1]
