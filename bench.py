@@ -230,12 +230,16 @@ def main():
                 result[key + "_error"] = f"{type(e).__name__}: {e}"
         # MXU-filling batches (round 3): the polar split is B-independent,
         # so large batches scale useful FLOPs at near-constant sweep
-        # latency -- B=2048 is 5.3x the B=256 throughput on one core
-        for key, b_sz in (("high_m_polar_b1024", 1024),
-                          ("high_m_polar_b2048", 2048)):
+        # latency -- measured 11.7k -> 82k -> 104k samples/s (4.1% ->
+        # 24.1% -> 30.2% MFU) at B=256/4096/8192 on one v5e core
+        # (results/large_batch.json)
+        for key, b_sz, n_reps in (("high_m_polar_b1024", 1024, 6),
+                                  ("high_m_polar_b2048", 2048, 6),
+                                  ("high_m_polar_b4096", 4096, 4),
+                                  ("high_m_polar_b8192", 8192, 3)):
             try:
                 result[key] = _high_m_point(
-                    jax, jnp, dtype, method="polar", B=b_sz, reps=6
+                    jax, jnp, dtype, method="polar", B=b_sz, reps=n_reps
                 )
             except Exception as e:
                 result[key + "_error"] = f"{type(e).__name__}: {e}"

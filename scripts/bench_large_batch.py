@@ -80,6 +80,10 @@ def main():
         dict(dtype=jnp.bfloat16, M=128, B=2048, reps=6),
         dict(dtype=jnp.bfloat16, M=128, B=1024, reps=6),
         dict(dtype=jnp.float32, M=128, B=4096, reps=4),
+        dict(dtype=jnp.float32, M=128, B=8192, reps=3),
+        dict(dtype=jnp.float32, M=128, B=16384, reps=3),
+        dict(dtype=jnp.float32, M=256, B=4096, reps=3),
+        dict(dtype=jnp.float32, M=256, B=8192, reps=3),
         # stretch width at large batch
         dict(dtype=jnp.float32, M=256, B=1024, reps=4),
         dict(dtype=jnp.float32, M=256, B=2048, reps=4),
