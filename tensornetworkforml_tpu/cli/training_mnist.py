@@ -39,7 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "oscillatory, see ROADMAP.md)")
     p.add_argument("--M", type=int, default=32, help="Bond dimension")
     p.add_argument("--n_epochs", type=int, default=5)
-    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--batch_size", type=int, default=128,
+                   help="quality tracks UPDATE count, not batch size: when "
+                        "growing B by k, run ~k x the epochs and raise "
+                        "--lr_decay to decay^(1/k) (measured: B=1024 on "
+                        "the B=256 schedule tests 0.91, update-matched "
+                        "parity -- results/large_batch_quality.json)")
     p.add_argument("--lr", type=float, default=None,
                    help="default 0.2; 1.6/N for chains longer than 400 "
                         "sites -- the clipped update takes a ~lr-relative "
