@@ -84,6 +84,9 @@ def main():
         dict(dtype=jnp.float32, M=128, B=16384, reps=3),
         dict(dtype=jnp.float32, M=256, B=4096, reps=3),
         dict(dtype=jnp.float32, M=256, B=8192, reps=3),
+        dict(dtype=jnp.float32, M=512, B=1024, reps=2),
+        dict(dtype=jnp.float32, M=512, B=2048, reps=2),
+        dict(dtype=jnp.float32, M=512, B=4096, reps=2),
         # stretch width at large batch
         dict(dtype=jnp.float32, M=256, B=1024, reps=4),
         dict(dtype=jnp.float32, M=256, B=2048, reps=4),
