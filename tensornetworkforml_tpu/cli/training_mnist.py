@@ -328,11 +328,10 @@ def main(argv=None):
 
         # warmup in the SMALL-batch basin: the absolute warmup batch size
         # is the active ingredient (<= 128; see train_model docstring)
+        from tensornetworkforml_tpu.data.loader import warmup_batch_size
+
         warm_loader = (
-            with_batch_size(
-                train_loader,
-                max(1, args.batch_size // max(2, args.batch_size // 128)),
-            )
+            with_batch_size(train_loader, warmup_batch_size(args.batch_size))
             if warmup_epochs > 0
             else None
         )

@@ -204,21 +204,22 @@ def train_model(
     fallback_warned = False
     warm_loader = None
     if warmup_epochs > 0:
-        from tensornetworkforml_tpu.data.loader import with_batch_size
+        from tensornetworkforml_tpu.data.loader import (
+            warmup_batch_size,
+            with_batch_size,
+        )
 
         if not hasattr(train_loader, "dataset"):
             raise ValueError(
                 "warmup_epochs requires an ArrayLoader train loader"
             )
-        divisor = (
-            warmup_batch_divisor
+        warm_b = (
+            max(1, train_loader.batch_size // warmup_batch_divisor)
             if warmup_batch_divisor is not None
-            else max(2, train_loader.batch_size // 128)
+            else warmup_batch_size(train_loader.batch_size)
         )
         warm_loader = with_batch_size(
-            train_loader,
-            max(1, train_loader.batch_size // divisor),
-            even_batches=True,
+            train_loader, warm_b, even_batches=True,
         )
 
     for epoch in range(start_epoch, n_epochs):

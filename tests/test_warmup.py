@@ -72,3 +72,14 @@ def test_warmup_default_lands_at_128():
     )
     # B=512 -> divisor max(2, 512//128)=4 -> warmup batch 128 -> 4x steps
     assert var_hist[0][0].shape[-1] == 4 * var_hist[1][0].shape[-1]
+
+
+def test_warmup_batch_size_formula():
+    from tensornetworkforml_tpu.data.loader import warmup_batch_size
+
+    assert warmup_batch_size(16) == 8      # small batches: half
+    assert warmup_batch_size(256) == 128
+    assert warmup_batch_size(512) == 128
+    assert warmup_batch_size(1024) == 128
+    assert warmup_batch_size(2048) == 128
+    assert warmup_batch_size(1) == 1
