@@ -324,11 +324,12 @@ def main(argv=None):
         trainer = ShardedTrainer(
             mesh, mps, lr=lr, weight_dec=args.weight_dec, cfg=cfg,
         )
-        from tensornetworkforml_tpu.data.loader import with_batch_size
-
         # warmup in the SMALL-batch basin: the absolute warmup batch size
         # is the active ingredient (<= 128; see train_model docstring)
-        from tensornetworkforml_tpu.data.loader import warmup_batch_size
+        from tensornetworkforml_tpu.data.loader import (
+            warmup_batch_size,
+            with_batch_size,
+        )
 
         warm_loader = (
             with_batch_size(train_loader, warmup_batch_size(args.batch_size))
