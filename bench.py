@@ -115,14 +115,75 @@ def host_reference_epoch_s(force: bool = False):
     return t
 
 
+def probe_backend(timeout_s: float = 150.0, platform: str = None):
+    """Fail-fast device probe (CLAUDE.md discipline): run one tiny jnp op in
+    a SUBPROCESS with a hard timeout before committing to the long benchmark.
+
+    Backend init hangs in native code when the TPU tunnel is down (round-3
+    outage: BENCH_r03 rc=1 after a 30-line backtrace, and hung inits of 10+
+    minutes) — an in-process probe can't be interrupted, so we probe out of
+    process. The probe exits before the main process initializes its own
+    backend, so the one-process-per-TPU rule is respected. Returns
+    ``(ok, backend_or_error)``.
+    """
+    import subprocess
+
+    force = (
+        f"jax.config.update('jax_platforms', {platform!r}); " if platform
+        else ""
+    )
+    code = (
+        "import jax, jax.numpy as jnp; " + force +
+        "print('PROBE_OK', jax.default_backend(), float(jnp.ones(()) + 1))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init exceeded {timeout_s:.0f}s (tunnel down?)"
+    if r.returncode != 0 or "PROBE_OK" not in r.stdout:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        return False, f"probe rc={r.returncode}: {' '.join(tail)[:300]}"
+    return True, r.stdout.split("PROBE_OK", 1)[1].split()[0]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-reference", action="store_true",
                     help="re-measure the reference epoch on this host (~90s)")
     ap.add_argument("--skip-high-m", action="store_true",
                     help="skip the high-M MXU-loaded datapoint")
+    ap.add_argument("--no-probe", action="store_true",
+                    help="skip the fail-fast backend probe")
     args = ap.parse_args()
 
+    if not args.no_probe:
+        ok, info = probe_backend()
+        if not ok:
+            print(json.dumps({
+                "metric": "diagonals epoch time (N=25, M=20, batch=16,"
+                          " 4000 samples, full sweep per batch)",
+                "value": None, "unit": "s", "vs_baseline": None,
+                "error": f"accelerator unavailable: {info}",
+            }))
+            return 1
+
+    try:
+        return _run(args)
+    except Exception as e:  # never exit without a JSON line on stdout
+        print(json.dumps({
+            "metric": "diagonals epoch time (N=25, M=20, batch=16,"
+                      " 4000 samples, full sweep per batch)",
+            "value": None, "unit": "s", "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}"[:500],
+        }))
+        return 1
+
+
+def _run(args):
     import jax
 
     # one-time compile of the fused-epoch program dominates cold starts;
