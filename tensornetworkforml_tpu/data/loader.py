@@ -121,15 +121,18 @@ def with_batch_size(
 
 
 def warmup_batch_size(batch_size: int) -> int:
-    """The warmup-epoch batch for a given training batch: <= ~128.
+    """The warmup-epoch batch for a given training batch: always <= 128
+    (and <= batch_size // 2 for batch_size >= 2).
 
     The warmup mechanism needs the ABSOLUTE small-batch noise scale, not
     a fixed fraction of the training batch (measured at B=1024: a
     half-batch (512) warmup still lands in the large-batch attractor,
     test 0.38/0.71; a 128-sample warmup restores the basin, 0.97 --
-    results/large_batch_quality.json).
+    results/large_batch_quality.json). The divisor rounds UP so batches
+    just under a multiple of 128 stay inside the measured basin
+    (340 -> 113, not 170).
     """
-    return max(1, batch_size // max(2, batch_size // 128))
+    return max(1, batch_size // max(2, -(-batch_size // 128)))
 
 
 def psi_embed_host(x: np.ndarray) -> np.ndarray:

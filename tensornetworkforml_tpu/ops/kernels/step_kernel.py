@@ -89,7 +89,7 @@ def _step_kernel(
     y1h_ref,      # (L, B)
     f_ref,        # (L, B)
     om_ref,       # (L*JC, M)   label-sliced sketch matrix
-    lr_ref,       # (1, 1) SMEM
+    lr_ref,       # (1, 2) SMEM: lr, weight_dec
     # outputs
     aleft_ref,    # (I, M)
     labnew_ref,   # (L*M, JC)   next step's label core (label-major rows)
@@ -119,6 +119,7 @@ def _step_kernel(
     I = M * D
     JC = a2_ref.shape[1]
     lr = lr_ref[0, 0]
+    wd = lr_ref[0, 1]
 
     f = f_ref[:, :]
     y1h = y1h_ref[:, :]
@@ -164,12 +165,15 @@ def _step_kernel(
             jnp.int32, (L * I, I), 1)).astype(jnp.float32)     # (L*I, I)
         tile_left = _dot(tl_m, left, (((1,), (1,)), ((), ())))  # (L*I, B)
         wl = _dot(el, loss_der) * tile_left                    # (L*I, B)
-        db3_all = _dot(wl, right)                              # (L*I, JC)
+        # plain weight decay folded into the raw gradient BEFORE the |dB|
+        # sum and the clip, exactly like the XLA path (train/sweep.py:174)
+        db3_all = _dot(wl, right) - wd * b3_all                # (L*I, JC)
     else:
         db3_all = None
         db3 = [
             _dot((loss_der[o, :][:, None] * left), right,
                  (((0,), (0,)), ((), ())))
+            - wd * b3_all[o * I:(o + 1) * I, :]
             for o in range(L)
         ]
 
@@ -270,6 +274,7 @@ def two_site_step_pallas(
     lenv, renv,  # (B, M)
     y1h, f,     # (L, B)
     lr,
+    weight_dec=0.0,
     act_fn: str = "linear",
     loss_fn: str = "MSE",
     T: float = 0.1,
@@ -293,7 +298,10 @@ def two_site_step_pallas(
     # the SAME omega the standalone polar split uses for a (I, L*JC)
     # matrix; kept 2-D (L*JC, M) -- the kernel slices per-label row blocks
     om = _rangefinder_omega(L * JC, M, jnp.float32)
-    lr_arr = jnp.asarray(lr, jnp.float32).reshape(1, 1)
+    lr_arr = jnp.stack([
+        jnp.asarray(lr, jnp.float32).reshape(()),
+        jnp.asarray(weight_dec, jnp.float32).reshape(()),
+    ]).reshape(1, 2)
 
     kernel = functools.partial(
         _step_kernel,
@@ -308,7 +316,7 @@ def two_site_step_pallas(
         in_specs=[
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
             vmem(),
-            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
         ],
         out_specs=(
             vmem(), vmem(), vmem(), vmem(),

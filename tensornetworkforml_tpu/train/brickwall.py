@@ -93,6 +93,13 @@ class BrickConfig(NamedTuple):
     # (never overshoots, but conservative); values in (1, 2) trade a
     # little overshoot for faster residual decay.
     line_search_relax: float = 1.0
+    # step floor, as a fraction of `lr`: when the weight-decay term
+    # dominates the clipped direction, <dF, loss_der> can go <= 0 and an
+    # unfloored line search takes a ZERO step -- silently stalling the
+    # layer (visible only through the 'gamma' metric). The floor keeps a
+    # small fixed step in that regime so regularisation still applies and
+    # training cannot deadlock; 0.0 restores the pure [0, lr] clamp.
+    line_search_floor: float = 0.05
 
 
 def _env_stacks(sites, w, phi_t, e0):
@@ -170,7 +177,9 @@ def _brick_layer(sites, w, phi_t, y_onehot, lr, weight_dec, parity, cfg, T):
         dF = jnp.einsum("kbc,kbco->ob", t2, Rk)
         num = jnp.sum(dF * loss_der)
         den = jnp.maximum(jnp.sum(dF * dF), 1e-30)
-        gamma = jnp.clip(cfg.line_search_relax * num / den, 0.0, lr)
+        gamma = jnp.clip(
+            cfg.line_search_relax * num / den, cfg.line_search_floor * lr, lr
+        )
         step = gamma
     else:
         gamma = lr * jnp.ones((), dtype=dtype)

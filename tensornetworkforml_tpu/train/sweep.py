@@ -310,7 +310,7 @@ def _sweep_right_arrays(
             lab, l_env, f = carry
             x1, x2, A2, r_env = x
             a_left, lab_new, l_env_new, f_new, metr = two_site_step_pallas(
-                lab, A2, x1, x2, l_env, r_env, y1h32, f, lr,
+                lab, A2, x1, x2, l_env, r_env, y1h32, f, lr, weight_dec,
                 act_fn=cfg.act_fn, loss_fn=cfg.loss_fn, T=T,
                 renorm_envs=cfg.renorm_envs, growth_cap=cfg.growth_cap,
                 interpret=interp,

@@ -513,3 +513,48 @@ def test_brick_line_search_stable_without_tuning():
         accs.append(float(np.mean(np.asarray(metrics["accuracy"]))))
     assert np.isfinite(np.asarray(model.sites)).all()
     assert accs[-1] >= 0.9, accs  # stable AND learning at the wild cap
+
+
+def test_brick_line_search_floor_prevents_zero_step():
+    """When the linearized gain <dF, loss_der> is <= 0 (e.g. a perfect fit
+    where loss_der == 0 but the weight-decay direction is nonzero), the
+    unfloored line search took a ZERO step, silently stalling the layer.
+    The floor keeps gamma >= floor*lr so decay still applies; floor=0.0
+    restores the old clamp."""
+    import numpy as np
+
+    from tensornetworkforml_tpu.models.boundary import boundary_product_init
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+    from tensornetworkforml_tpu.train.brickwall import (
+        BrickConfig,
+        _brick_layer,
+        _env_stacks,
+        boundary_vector,
+    )
+
+    rng = np.random.default_rng(0)
+    N, M, L, B = 8, 4, 2, 16
+    x = rng.random((B, N)).astype(np.float32)
+    model = boundary_product_init(
+        jax.random.PRNGKey(0), N=N, M=M, L=L, act_fn="linear",
+        loss_fn="MSE", dtype=jnp.float32, calibration_x=x,
+    )
+    phi_t = psi_embed(jnp.asarray(x)).transpose(1, 0, 2)
+    e0 = boundary_vector(M, dtype=jnp.float32)
+    _, _, l_full = _env_stacks(model.sites, model.w, phi_t, e0)
+    # perfect fit: y_onehot == current scores -> loss_der == 0 -> num == 0
+    y1h = (l_full @ model.w).T
+
+    lr, wd = 0.1, 1e-3
+    cfg = BrickConfig(act_fn="linear", loss_fn="MSE", line_search=True)
+    _, metrics = _brick_layer(
+        model.sites, model.w, phi_t, y1h, lr, wd, 0, cfg, 0.1
+    )
+    gam = float(metrics["gamma"])
+    assert gam >= cfg.line_search_floor * lr - 1e-9, gam
+
+    cfg0 = cfg._replace(line_search_floor=0.0)
+    _, metrics0 = _brick_layer(
+        model.sites, model.w, phi_t, y1h, lr, wd, 0, cfg0, 0.1
+    )
+    assert float(metrics0["gamma"]) <= 1e-12  # the old stall, now opt-in

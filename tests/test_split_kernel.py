@@ -228,6 +228,47 @@ def test_fused_step_engine_matches_xla_polar_path():
     )
 
 
+def test_fused_step_engine_applies_weight_decay():
+    """The fused engine must apply plain weight decay exactly like the XLA
+    path (dB -= wd*B BEFORE the clip, train/sweep.py:174-177). Driven at a
+    LARGE wd so a silently-ignored decay is unmissable: the fused result
+    must match the XLA path, and differ from a wd=0 fused run."""
+    from tensornetworkforml_tpu.models.mps import mps_forward, product_init
+    from tensornetworkforml_tpu.ops.embedding import psi_embed
+    from tensornetworkforml_tpu.train.sweep import SweepConfig, sweep_once
+
+    rng = np.random.default_rng(3)
+    N, M, L, B = 12, 8, 3, 16
+    mps = product_init(jax.random.PRNGKey(0), N=N, M=M, L=L,
+                       act_fn="linear", loss_fn="MSE", dtype=jnp.float32,
+                       calibration_x=rng.random((B, N)))
+    phi = psi_embed(jnp.asarray(rng.random((B, N)), dtype=jnp.float32))
+    y1h = jnp.asarray(np.eye(L, dtype=np.float32)[rng.integers(0, L, B)].T)
+
+    cfg_x = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                        split_mode="canonical", svd_method="polar")
+    cfg_f = cfg_x._replace(engine="fused")
+    wd = 0.3
+    mx, _, ffx, metx = sweep_once(mps, phi, y1h, 0.1, wd, cfg_x)
+    mf, _, fff, metf = sweep_once(mps, phi, y1h, 0.1, wd, cfg_f)
+    mf0, _, fff0, _ = sweep_once(mps, phi, y1h, 0.1, 0.0, cfg_f)
+
+    np.testing.assert_allclose(np.asarray(fff), np.asarray(ffx), atol=2e-4)
+    # |dB| is recorded post-decay, pre-clip on both paths
+    np.testing.assert_allclose(
+        np.asarray(metf["mean_abs_deltaB"]),
+        np.asarray(metx["mean_abs_deltaB"]), rtol=1e-3,
+    )
+    # and the decay actually bites: wd=0.3 differs from wd=0
+    assert np.abs(np.asarray(fff) - np.asarray(fff0)).max() > 1e-3
+    phi_p = psi_embed(jnp.asarray(rng.random((8, N)), dtype=jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(mf, phi_p)),
+        np.asarray(mps_forward(mx, phi_p)),
+        atol=2e-4,
+    )
+
+
 def test_fused_step_engine_trains_and_rejects_bad_configs():
     from tensornetworkforml_tpu.data.diagonals import create_dataset
     from tensornetworkforml_tpu.data.loader import prepare_dataset

@@ -83,3 +83,11 @@ def test_warmup_batch_size_formula():
     assert warmup_batch_size(1024) == 128
     assert warmup_batch_size(2048) == 128
     assert warmup_batch_size(1) == 1
+    # ceiling divisor: batches just under a 128-multiple stay <= 128
+    assert warmup_batch_size(340) == 113
+    assert warmup_batch_size(300) == 100
+    for b in range(1, 4097):
+        w = warmup_batch_size(b)
+        assert w <= 128 and w >= 1
+        if b >= 2:
+            assert w <= b // 2
