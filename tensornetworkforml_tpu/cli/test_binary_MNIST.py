@@ -13,12 +13,12 @@ import argparse
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
-        description="Test the trained Tensor Network on a binary MNIST dataset"
+        description="Evaluate a trained MPS model on 0-vs-1 MNIST"
     )
     p.add_argument("--filename", type=str, default="trained_MNIST_model.npz",
                    help="Filename of the trained network (.npz or reference .dat)")
     p.add_argument("--data_dir", type=str, default="datasets",
-                   help="Directory where the MNIST dataset is stored")
+                   help="folder holding the MNIST IDX files")
     p.add_argument("--synthetic", action="store_true",
                    help="Use the synthetic MNIST stand-in (no dataset files)")
     return p

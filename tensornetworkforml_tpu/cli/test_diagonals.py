@@ -15,14 +15,14 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
-        description="Test the trained Tensor Network on the diagonals dataset"
+        description="Evaluate a trained MPS model on fresh diagonals data"
     )
     p.add_argument("--filename", type=str, default="trained_diag_model.npz",
                    help="Filename of the trained network (.npz or reference .dat)")
     p.add_argument("--n_samples", type=int, default=1000,
-                   help="Number of samples in the test dataset")
+                   help="how many test images to synthesize")
     p.add_argument("--sigma", type=float, default=0.6,
-                   help="Sigma of the noise that will be added to the dataset")
+                   help="uniform-noise amplitude mixed into each image")
     p.add_argument("--seed", type=int, default=None)
     return p
 

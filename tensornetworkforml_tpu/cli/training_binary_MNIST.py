@@ -35,19 +35,24 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
-        description="Train the Tensor Network to classify a binary MNIST dataset"
+        description="Train an MPS classifier on 0-vs-1 MNIST (pooled 14x14)"
     )
+    # flag NAMES and DEFAULTS match the reference CLI
+    # (training_binary_MNIST.py:36-48); help texts are this repo's own.
     p.add_argument("--data_dir", type=str, default="datasets",
-                   help="Directory where the MNIST dataset is stored")
+                   help="folder holding the MNIST IDX files")
     p.add_argument("--n_train_batch", type=int, default=10,
-                   help="Number of batches in which the training set will be split")
+                   help="how many mini-batches the training split is cut into")
     p.add_argument("--M", type=int, default=None,
-                   help="Bond dimension (default: 8 tpu recipe, 3 reference)")
-    p.add_argument("--n_epochs", type=int, default=3, help="Number of epochs")
+                   help="MPS bond dimension (default: 8 tpu recipe, 3 reference)")
+    p.add_argument("--n_epochs", type=int, default=3,
+                   help="training epochs (full passes over the data)")
     p.add_argument("--lr", type=float, default=None,
-                   help="Learning Rate (default: 0.05 tpu recipe, 0.001 reference)")
+                   help="gradient-step size (default: 0.05 tpu recipe, "
+                        "0.001 reference)")
     p.add_argument("--L2_decay", type=float, default=None,
-                   help="Weight decay (default: 1e-4 tpu recipe, 1e-56 reference)")
+                   help="weight-decay coefficient (default: 1e-5 tpu recipe, "
+                        "1e-56 reference)")
     p.add_argument("--act_fn", type=str, default=None)
     p.add_argument("--loss_fn", type=str, default=None)
     p.add_argument("--recipe", type=str, default="tpu",

@@ -18,26 +18,30 @@ import numpy as np
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
-        description="Train the Tensor Network to classify the dataset of diagonals"
+        description="Train an MPS classifier on the noisy-diagonals task"
     )
+    # flag NAMES and DEFAULTS match the reference CLI
+    # (training_diagonals.py:31-46); help texts are this repo's own.
     p.add_argument("--n_samples", type=int, default=5000,
-                   help="Number of samples to generate (i.e. size of the dataset)")
+                   help="how many images to synthesize in total")
     p.add_argument("--linear_dim", type=int, default=8,
-                   help="Size of both dimensions of the samples")
+                   help="image side length (images are square)")
     p.add_argument("--sigma", type=float, default=0.7,
-                   help="Sigma of the noise that will be added to the dataset")
+                   help="uniform-noise amplitude mixed into each image")
     p.add_argument("--n_train_batch", type=int, default=1,
-                   help="Number of batches in which the training set will be split")
+                   help="how many mini-batches the training split is cut into")
     p.add_argument("--M", type=int, default=10,
-                   help="Size of the bond between tensors of the network")
-    p.add_argument("--n_epochs", type=int, default=5, help="Number of epochs")
-    p.add_argument("--lr", type=float, default=0.01, help="Learning Rate")
+                   help="MPS bond dimension (virtual-leg width)")
+    p.add_argument("--n_epochs", type=int, default=5,
+                   help="training epochs (full passes over the data)")
+    p.add_argument("--lr", type=float, default=0.01,
+                   help="gradient-step size for the two-site updates")
     p.add_argument("--L2_decay", type=float, default=1,
-                   help="Weight decay value for L2 regularization")
+                   help="coefficient of the exact-L2 regularizer")
     p.add_argument("--act_fn", type=str, default="softmax",
-                   help="Activation function ('linear', 'sigmoid' or 'softmax')")
+                   help="output activation: linear, sigmoid or softmax")
     p.add_argument("--loss_fn", type=str, default="full_cross_ent",
-                   help="Loss function ('MSE', 'cross_entropy' or 'full_cross_ent')")
+                   help="training loss: MSE, cross_entropy or full_cross_ent")
     p.add_argument("--out", type=str, default="trained_diag_model.npz",
                    help="Output checkpoint path")
     p.add_argument("--results_dir", type=str, default="results")
