@@ -119,18 +119,25 @@ class ShardedTrainer:
         svd_method: str = "svd",
         shard_bonds: bool = False,
         cfg: SweepConfig = None,
+        dist_split: str = "none",
     ):
         self.mesh = mesh
         self.mps = mps
         self.lr = lr
         self.weight_dec = weight_dec
         if cfg is None:
+            split_mode = "canonical" if dist_split != "none" else "shared"
             cfg = SweepConfig(
                 act_fn=mps.act_fn,
                 loss_fn=mps.loss_fn,
-                L2_flag=L2_flag,
+                L2_flag=L2_flag and dist_split == "none",
                 svd_method=svd_method,
+                split_mode=split_mode,
             )
+        if dist_split != "none":
+            # route every split of the sweep through the bond-distributed
+            # path (parallel/dist_split.py) over THIS trainer's mesh
+            cfg = cfg._replace(dist_split=dist_split, dist_mesh=mesh)
         self.cfg = cfg
         self._steps = {
             left: make_sharded_train_step(

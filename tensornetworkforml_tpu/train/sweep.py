@@ -98,6 +98,16 @@ class SweepConfig(NamedTuple):
     # update_mode="clip", float32; M*D <= 256 (see ops/svd.py's Mosaic
     # note).
     engine: str = "xla"
+    # Bond-distributed splits (parallel/dist_split.py): "none" keeps the
+    # single-program split above; "cholqr"/"polar" run EVERY split of the
+    # sweep with the two-site matrix's columns sharded over `dist_mesh`'s
+    # model axis (explicit shard_map + psum'd Gram/sketch) -- the
+    # bond-parallel training path for large M. Requires
+    # split_mode="canonical" and rank_mode="fixed", and the column count
+    # L*D*M must divide by the model-axis size.
+    dist_split: str = "none"
+    # jax.sharding.Mesh used by dist_split (hashable; part of the jit key)
+    dist_mesh: object = None
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -208,9 +218,33 @@ def two_site_update(
     if bmat.dtype == jnp.bfloat16:  # no bf16 SVD; split in f32
         bmat = bmat.astype(jnp.float32)
     keep = rank if cfg.rank_mode == "reference" else None
-    left_flat, right_flat = truncated_svd_split(
-        bmat, M, cfg.svd_method, keep=keep, split_mode=cfg.split_mode
-    )
+    if cfg.dist_split != "none":
+        # bond-distributed split: columns of the (I, L*D*M) two-site
+        # matrix sharded over the mesh's model axis, Gram/sketch psum'd
+        # (parallel/dist_split.py). The right factor -- the new label
+        # core -- comes back column-sharded, so the label core's big legs
+        # stay distributed through the whole sweep.
+        from tensornetworkforml_tpu.parallel.dist_split import (
+            distributed_cholqr_split,
+            distributed_polar_split,
+        )
+
+        if cfg.split_mode != "canonical" or keep is not None:
+            raise ValueError(
+                "dist_split requires split_mode='canonical' and "
+                "rank_mode='fixed'"
+            )
+        if cfg.dist_mesh is None:
+            raise ValueError("dist_split set but dist_mesh is None")
+        dist_fn = {
+            "cholqr": distributed_cholqr_split,
+            "polar": distributed_polar_split,
+        }[cfg.dist_split]
+        left_flat, right_flat = dist_fn(bmat, M, cfg.dist_mesh)
+    else:
+        left_flat, right_flat = truncated_svd_split(
+            bmat, M, cfg.svd_method, keep=keep, split_mode=cfg.split_mode
+        )
     A_left = left_flat.reshape(M, D, M).astype(dtype)
     label_new = (
         right_flat.reshape(M, L, D, M).transpose(0, 2, 1, 3).astype(dtype)

@@ -370,3 +370,129 @@ def test_predictor_pallas_under_mesh_matches_xla():
     np.testing.assert_allclose(
         p_mesh.scores(x), p_xla.scores(x), rtol=2e-4, atol=2e-5,
     )
+
+
+def test_dist_split_trainer_routes_and_matches(monkeypatch):
+    """VERDICT-r3 #4: bond-distributed splits must be reachable from a
+    TRAINER, not just as primitives. ``ShardedTrainer(dist_split='cholqr')``
+    (a) really routes every sweep split through ``parallel/dist_split.py``
+    (asserted by patching the module attribute the scan body resolves at
+    trace time), (b) keeps the right factor column-sharded over ``model``
+    inside the compiled step (``inspect_array_sharding``), and (c) trains
+    the same network as the single-program cholqr sweep."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import tensornetworkforml_tpu.parallel.dist_split as ds
+
+    mps = _make_mps(N=12, M=8)
+    B = 16
+    x = RNG.random((B, mps.N))
+    y = RNG.integers(0, 2, B)
+    cfg = SweepConfig(act_fn=mps.act_fn, loss_fn=mps.loss_fn, L2_flag=False,
+                      split_mode="canonical", svd_method="cholqr")
+
+    phi = psi_embed(jnp.asarray(x))
+    y_onehot = jax.nn.one_hot(jnp.asarray(y), 2, dtype=jnp.float64).T
+    ref_mps, _, _, _ = sweep_once(mps, phi, y_onehot, 0.01, 1e-3, cfg)
+
+    calls = []
+    shardings = []
+    real = ds.distributed_cholqr_split
+
+    def spy(bmat, rank, mesh, *a, **k):
+        calls.append(bmat.shape)
+        q, r = real(bmat, rank, mesh, *a, **k)
+        jax.debug.inspect_array_sharding(
+            r, callback=shardings.append
+        )
+        return q, r
+
+    monkeypatch.setattr(ds, "distributed_cholqr_split", spy)
+
+    mesh = make_mesh(shape=(4, 2))
+    trainer = ShardedTrainer(mesh, mps, lr=0.01, weight_dec=1e-3, cfg=cfg,
+                             dist_split="cholqr")
+    assert trainer.cfg.dist_split == "cholqr"
+    assert trainer.cfg.dist_mesh is mesh
+    trainer.step(x, y)
+
+    assert len(calls) >= 1  # the scan body traced through the dist path
+    assert calls[0] == (mps.M * 2, 2 * 2 * mps.M)  # (M*D, L*D*M)
+    want = NamedSharding(mesh, P(None, "model"))
+    assert shardings and all(
+        s.is_equivalent_to(want, ndim=2) for s in shardings
+    )
+
+    phi_probe = psi_embed(jnp.asarray(RNG.random((8, mps.N))))
+    np.testing.assert_allclose(
+        np.asarray(mps_forward(trainer.mps, phi_probe)),
+        np.asarray(mps_forward(ref_mps, phi_probe)),
+        rtol=1e-6, atol=1e-8,
+    )
+
+
+def test_dist_split_trainer_m512():
+    """Bond-parallel TRAINING at large M (VERDICT-r3 #4 done-criterion):
+    one sweep step at M=512 on a pure model mesh, every split running the
+    explicit-collective cholqr with J = L*D*M = 2048 columns sharded 8
+    ways (256 per device)."""
+    from tensornetworkforml_tpu.models.mps import product_init
+
+    N, M, L, B = 6, 512, 2, 16
+    mps = product_init(
+        jax.random.PRNGKey(0), N=N, M=M, L=L, act_fn="linear",
+        loss_fn="MSE", dtype=jnp.float32,
+        calibration_x=RNG.random((16, N)),
+    )
+    mesh = make_mesh(shape=(1, 8))
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical")
+    trainer = ShardedTrainer(mesh, mps, lr=0.01, weight_dec=1e-5, cfg=cfg,
+                             dist_split="cholqr")
+    acc = trainer.step(RNG.random((B, N)), RNG.integers(0, L, B))
+    assert 0.0 <= acc <= 1.0
+    assert bool(jnp.isfinite(trainer.mps.sites).all())
+    assert bool(jnp.isfinite(trainer.mps.label_site).all())
+    assert trainer.mps.l_pos == N - 1
+
+
+def test_dist_split_trainer_polar():
+    """The Pallas polar variant routed from the trainer (interpret mode on
+    the CPU mesh): finite step, left sweep included."""
+    from tensornetworkforml_tpu.models.mps import product_init
+
+    N, M, L, B = 8, 32, 2, 16
+    mps = product_init(
+        jax.random.PRNGKey(1), N=N, M=M, L=L, act_fn="linear",
+        loss_fn="MSE", dtype=jnp.float32,
+        calibration_x=RNG.random((16, N)),
+    )
+    mesh = make_mesh(shape=(1, 8))
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical")
+    trainer = ShardedTrainer(mesh, mps, lr=0.01, weight_dec=1e-5, cfg=cfg,
+                             dist_split="polar")
+    trainer.step(RNG.random((B, N)), RNG.integers(0, L, B))
+    trainer.step(RNG.random((B, N)), RNG.integers(0, L, B))  # mirrored sweep
+    assert bool(jnp.isfinite(trainer.mps.sites).all())
+    assert trainer.mps.l_pos == 0
+
+
+def test_dist_split_requires_canonical_and_mesh():
+    from tensornetworkforml_tpu.train.sweep import two_site_update
+
+    mps = _make_mps(N=8, M=4)
+    with pytest.raises(ValueError, match="canonical"):
+        cfg = SweepConfig(L2_flag=False, split_mode="shared",
+                          dist_split="cholqr", dist_mesh=make_mesh())
+        phi = psi_embed(jnp.asarray(RNG.random((4, mps.N))))
+        y1h = jax.nn.one_hot(jnp.asarray([0, 1, 0, 1]), 2,
+                             dtype=jnp.float64).T
+        sweep_once(mps, phi, y1h, 0.01, 1e-3, cfg)
+    with pytest.raises(ValueError, match="dist_mesh"):
+        cfg = SweepConfig(L2_flag=False, split_mode="canonical",
+                          dist_split="cholqr")
+        phi = psi_embed(jnp.asarray(RNG.random((4, mps.N))))
+        y1h = jax.nn.one_hot(jnp.asarray([0, 1, 0, 1]), 2,
+                             dtype=jnp.float64).T
+        sweep_once(mps, phi, y1h, 0.01, 1e-3, cfg)
