@@ -282,7 +282,14 @@ def _run(args):
                 ("high_m_polar", "polar", 128, 8),
                 # M=256 stretch (BASELINE CIFAR family): polar dispatches
                 # to the two-stage Pallas split (round 3) -- 1.5x cholqr
-                ("stretch_m256_polar", "polar", 256, 4)):
+                ("stretch_m256_polar", "polar", 256, 4),
+                # M=512 stretch (round 4): polar dispatches to the
+                # GRAM-FREE split (no (I, I) Gram; Pallas J-tiled
+                # reductions + XLA cholqr orth) -- the standalone split
+                # is 3.9 ms at I=1024 where the jitted XLA cholqr path
+                # needs the explicit 4 MB Gram; the sweep at this width
+                # is HBM-bound on its 84 MB two-site intermediates
+                ("stretch_m512_polar", "polar", 512, 4)):
             try:
                 result[key] = _high_m_point(
                     jax, jnp, dtype, method=method, M=m_dim, reps=n_reps

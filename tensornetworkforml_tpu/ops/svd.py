@@ -128,13 +128,17 @@ def truncated_svd_split(
         # unrolled NS phase still crashes above that; the TWO-STAGE form
         # (sketch/Gram kernel + iterate kernel) compiles and runs at
         # I = 512 (M = 256, iso 2.4e-7 on hardware). (c) At I = 1024 the
-        # (I, I) Gram output block itself exceeds the ~3 MB limit --
-        # M >= 512 splits take the XLA cholqr path (same contract).
+        # (I, I) Gram output block itself exceeds the ~3 MB limit -- the
+        # GRAM-FREE form (round 4) removes the (I, I) array entirely via
+        # G @ y = B (B^T y), unlocking I >= 1024 (M >= 512).
         I = bmat.shape[0]
         on_tpu = jax.default_backend() == "tpu"
         if I > 512 and on_tpu:
-            q, r = batched_cholqr_split(bmat[None], rank)
-            return q[0], r[0]
+            from tensornetworkforml_tpu.ops.kernels.polar_split import (
+                gramfree_split,
+            )
+
+            return gramfree_split(bmat, rank)
         if I > 384 and on_tpu:
             from tensornetworkforml_tpu.ops.kernels.polar_split import (
                 polar_split_two_stage,

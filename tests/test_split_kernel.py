@@ -317,3 +317,65 @@ def test_polar_two_stage_matches_fused():
     cap = (np.asarray(r2) ** 2).sum() / (s_true[:64] ** 2).sum()
     iso = np.abs(np.asarray(q2).T @ np.asarray(q2) - np.eye(64)).max()
     assert cap > 1 - 1e-5 and iso < 1e-4
+
+
+def test_gramfree_split_large_bond_contract():
+    """gramfree_split (the I > 512 TPU dispatch, ops/svd.py, round 4:
+    no (I, I) Gram anywhere) captures the same subspace as the fused
+    polar kernel -- the BASIS differs (cholqr vs Newton-Schulz orth, pure
+    gauge in canonical mode), so parity is asserted on the projector,
+    the captured energy, the isometry, and the reconstruction."""
+    from tensornetworkforml_tpu.ops.kernels.polar_split import (
+        gramfree_split,
+        polar_split_pallas,
+    )
+
+    b = jnp.asarray(_gapped_matrix(128, 1280, 64, seed=7), dtype=jnp.float32)
+    qp, rp = polar_split_pallas(b, 64, interpret=True)
+    qg, rg = gramfree_split(b, 64, interpret=True)
+    # same projector (same captured subspace)
+    proj_p = np.asarray(qp) @ np.asarray(qp).T
+    proj_g = np.asarray(qg) @ np.asarray(qg).T
+    np.testing.assert_allclose(proj_g, proj_p, atol=5e-4)
+    # isometric up to the cholqr ridge deviation (~eps at q=64: 6e-5)
+    iso = np.abs(np.asarray(qg).T @ np.asarray(qg) - np.eye(64)).max()
+    assert iso < 5e-4
+    # captured energy at the optimal truncation
+    s_true = np.linalg.svd(np.asarray(b), compute_uv=False)
+    cap = (np.asarray(rg) ** 2).sum() / (s_true[:64] ** 2).sum()
+    assert cap > 1 - 1e-5
+    # Q R reconstructs B to the truncation floor
+    res = np.linalg.norm(np.asarray(b) - np.asarray(qg) @ np.asarray(rg))
+    opt = np.sqrt((s_true[64:] ** 2).sum())
+    assert res < 1.02 * opt + 1e-4
+
+    # J-padding path (J not a multiple of the tile width)
+    b_odd = jnp.asarray(
+        _gapped_matrix(96, 300, 48, seed=3), dtype=jnp.float32
+    )
+    q3, r3 = gramfree_split(b_odd, 48, interpret=True)
+    s3 = np.linalg.svd(np.asarray(b_odd), compute_uv=False)
+    cap3 = (np.asarray(r3) ** 2).sum() / (s3[:48] ** 2).sum()
+    assert cap3 > 1 - 1e-5
+    assert np.abs(np.asarray(q3).T @ np.asarray(q3) - np.eye(48)).max() < 5e-4
+
+
+def test_gramfree_split_dead_directions():
+    """Rank-deficient input: the cholqr-ridge contract -- dead directions
+    contracted (never junk unit columns), live block isometric, Q R == B."""
+    from tensornetworkforml_tpu.ops.kernels.polar_split import gramfree_split
+
+    rng = np.random.default_rng(11)
+    true_rank = 5
+    lowrank = (
+        rng.standard_normal((64, true_rank))
+        @ rng.standard_normal((true_rank, 256))
+    )
+    b = jnp.asarray(lowrank, dtype=jnp.float32)
+    q, r = gramfree_split(b, 32, interpret=True)
+    assert np.isfinite(np.asarray(q)).all()
+    col = np.sort(np.linalg.norm(np.asarray(q), axis=0))
+    assert col.max() < 1.0 + 1e-4  # never junk unit columns beyond live
+    np.testing.assert_allclose(
+        np.asarray(q @ r), lowrank, rtol=1e-4, atol=1e-4
+    )
