@@ -77,6 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
                         '"2:32,4:64" grows M to 32 at epoch 2 and 64 at '
                         'epoch 4 (zero-padded embedding, function '
                         'preserved exactly; one re-jit per growth)')
+    p.add_argument("--restarts", type=int, default=None,
+                   help="max fresh-init retries when validation stalls "
+                        "below 0.95 (init-basin escape; see "
+                        "train_model docstring). Default: 2 when "
+                        "batch_size > 128 (the regime with a measured "
+                        "~1-in-5 stuck-seed rate), else 0")
     p.add_argument("--warmup_epochs", type=int, default=None,
                    help="epochs at a small (~128-sample) batch before the "
                         "full batch (default: 1 when batch_size > 128, else "
@@ -357,6 +363,17 @@ def main(argv=None):
             lr if lr_decay == 1.0
             else (lambda e, _lr=lr, _d=lr_decay: _lr * _d ** e)
         )
+        restarts = (
+            args.restarts if args.restarts is not None
+            else (2 if args.batch_size > 128 else 0)
+        )
+        # fresh inits for stall restarts: same calibration batch, a seed
+        # offset far from any user-chosen --seed range
+        reinit_fn = lambda attempt: product_init(
+            jax.random.PRNGKey(args.seed + 7919 * attempt), N=N, M=args.M,
+            L=10, act_fn=args.act_fn, loss_fn=args.loss_fn,
+            dtype=jnp.float32, calibration_x=x_cal[:256],
+        )
         mps, val_acc, var_hist = train_model(
             mps, train_loader, val_loader, lr=lr_arg,
             n_epochs=args.n_epochs, weight_dec=args.weight_dec,
@@ -364,7 +381,8 @@ def main(argv=None):
             svd_method=args.svd_method, renorm_envs=renorm,
             growth_cap=growth_cap, checkpoint_path=args.checkpoint,
             resume=args.resume, warmup_epochs=warmup_epochs,
-            bond_schedule=bond_schedule,
+            bond_schedule=bond_schedule, restarts=restarts,
+            reinit_fn=reinit_fn,
         )
 
     test_acc = evaluate_accuracy(mps, test_loader)

@@ -16,16 +16,19 @@ program (plus one XLA matmul for R), with every intermediate VMEM-resident:
     Q  = polar_tight(colnorm(y))                  (last grid step)
     R  = Q^T B                                     (XLA)
 
-Orthonormalisation is matmul-only Newton-Schulz POLAR iteration applied to
-the (I, q) iterate directly -- quintic (Polar-Express/Muon-schedule)
-passes for range expansion, cubic passes for quadratic convergence --
-with the spectrum prescaled by the row-sum bound of Y^T Y. This is what
-the round-2 kernel's ``_ns_orth`` (coupled inverse-sqrt on W,
-trace-prescaled: smallest eigenvalue ~delta/q => ~23 linear iterations)
-could not afford, and why that kernel fell back to sequential in-kernel
-Householder QR and LOST to the XLA cholqr (307 ms vs 46 ms per sweep at
-M=128). Polar-on-Y with the quintic schedule converges the live block in
-6-10 total passes of 3 tiny matmuls each.
+Orthonormalisation is matmul-only Newton-Schulz POLAR iteration applied
+to the (I, q) iterate directly, with PER-PASS OPTIMAL odd-quintic
+coefficients (the greedy Polar Express construction, solved host-side in
+``_pe_schedule``) and the spectrum prescaled by the row-sum bound of
+Y^T Y. This is what the round-2 kernel's ``_ns_orth`` (coupled
+inverse-sqrt on W, trace-prescaled: smallest eigenvalue ~delta/q => ~23
+linear iterations) could not afford, and why that kernel fell back to
+sequential in-kernel Householder QR and LOST to the XLA cholqr (307 ms
+vs 46 ms per sweep at M=128). The greedy schedule converges the whole
+3-decade validity domain in 5 + 10 passes of 3 tiny matmuls each --
+round 3 shipped fixed coefficients needing 8 + 21 passes for the same
+contract (~45% of the kernel's pass count removed at equal capture)-- and
+per-pass time is what dominates this latency-class kernel.
 
 Dead-direction contract (matches ``ops.svd.batched_cholqr_split``):
 columns below ``dead_tol`` of the largest column norm are zeroed by the
@@ -46,11 +49,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Quintic NS coefficients (the Muon/Polar-Express schedule): contractive on
-# [0, 1.1] with slope 3.4445 at 0 -- each pass multiplies small singular
-# values by ~3.4 while keeping the top of the spectrum inside [0.7, 1.3].
-_QUINTIC = (3.4445, -4.7750, 2.0315)
-
 _DN = (((1,), (0,)), ((), ()))
 _DN_T = (((0,), (0,)), ((), ()))
 
@@ -69,55 +67,105 @@ def _colnorm(y, dead_tol):
     return jnp.where(live, y / jnp.maximum(n, 1e-30), 0.0)
 
 
-def _polar_ns(y, n_quintic: int, n_cubic: int, n_cubic_hi: int = 0):
-    """Matmul-only polar orthonormalisation of ``y (I, q)``.
+def _minimax_quintic(lo: float, hi: float):
+    """Coefficients of the odd quintic f(x) = a x + b x^3 + c x^5
+    minimizing ``max_{x in [lo, hi]} |f(x) - 1|`` (host-side; Lawson's
+    iteratively reweighted least squares on a dense grid -- converges to
+    the Chebyshev solution and is robust where a naive Remez exchange is
+    finicky). Returns ``(a, b, c, E)``."""
+    import numpy as _np
 
-    Safety: the prescale is the EXACT row-sum bound ||W||_inf >= sigma_max^2
-    (PSD W = Y^T Y), so every singular value enters at <= 1 -- and the
-    quintic map with the _QUINTIC coefficients is INVARIANT on [0, 1.101]
-    (its maximum on that interval is 1.101, at x = 0.554), so no pass can
-    ever diverge and no per-pass clamping is needed. Two earlier designs
-    failed here: a Rayleigh-estimate prescale is not a guaranteed bound (a
-    structured W can leave sigma > 1.4 => quintic overflow => NaN => the
-    dead-mask zeroes the model -- observed in training), and per-pass
-    row-sum re-clamping keeps firing mid-convergence (off-diagonal mass
-    inflates the row sum by ~sqrt(q) while columns are still correlated),
-    shrinking the iterate and destroying capture. The row-sum prescale
-    overestimates sigma_max by at most sqrt(q) ~ 16x, which costs ~2
-    extra quintic passes (3.44x lift per pass) -- the schedules below
-    include them.
+    x = _np.linspace(lo, hi, 4001)
+    A = _np.stack([x, x ** 3, x ** 5], axis=1)
+    w = _np.ones_like(x)
+    coef = _np.zeros(3)
+    for _ in range(400):
+        sw = _np.sqrt(w / w.sum())
+        coef, *_ = _np.linalg.lstsq(A * sw[:, None], sw, rcond=None)
+        err = _np.abs(A @ coef - 1.0)
+        w = w * (err + 1e-30)
+        w = w / w.max()
+    E = float(_np.abs(A @ coef - 1.0).max())
+    return float(coef[0]), float(coef[1]), float(coef[2]), E
 
-    Precision: quintic passes and all but the last ``n_cubic_hi`` cubic
-    passes run at Precision.HIGH (3-pass bf16, ~2e-4 relative -- below
-    the cholqr ridge's documented isometry cost); the final ``n_cubic_hi``
-    passes run at HIGHEST to polish. Convergence: live directions enter
-    the cubic phase inside [~0.68, 1.101] (the quintic's attracting band)
-    and converge quadratically; sub-threshold directions stay CONTRACTED
-    -- the same annihilation contract as the cholqr ridge.
+
+@functools.lru_cache(maxsize=None)
+def _pe_schedule(l0: float, e_target: float, max_passes: int = 24):
+    """Greedy per-pass optimal Newton-Schulz schedule (the Polar Express
+    construction, Amsel-Persson-Musco-Gower 2025): pass k applies the
+    minimax odd quintic on the CURRENT singular-value interval
+    [lo_k, hi_k], which the pass maps to [1 - E_k, 1 + E_k]; greedy
+    per-pass minimax is optimal for the composition. Converges any
+    x >= l0 to |x - 1| <= e_target in the returned number of passes --
+    ~2x fewer than the fixed-coefficient quintic/cubic schedule for the
+    same interval (measured: 16 vs 29 passes at l0 = 3e-5), which is pure
+    per-pass kernel-time savings since every singular value enters the
+    quintic-safe range by construction (f's range on [lo, hi] is exactly
+    [1 - E, 1 + E]; no invariant-region argument needed).
+
+    Host-side and cached; the schedule is a static tuple baked into the
+    kernel at trace time. ``l0`` sets the deepest live direction that
+    converges: below it, directions come out CONTRACTED (the cholqr
+    annihilation contract), so l0 must cover the documented ~3-decade
+    kept-spectrum validity domain DIVIDED by the row-sum prescale's
+    sqrt(q) overestimate (1e-3 / 16 ~= 6e-5 at q = 128; the defaults use
+    3e-5 for margin)."""
+    coeffs = []
+    lo, hi = float(l0), 1.0
+    for _ in range(max_passes):
+        a, b, c, E = _minimax_quintic(lo, hi)
+        coeffs.append((a, b, c))
+        lo, hi = 1.0 - E, 1.0 + E
+        if E <= e_target:
+            break
+    return tuple(coeffs)
+
+
+# Default greedy schedules for the split kernels. Loop phase (before the
+# Gram multiply) only CONDITIONS the iterate for the f32 power iteration,
+# so it stops at E ~ 0.25 from l0 = 1e-3 (the raw sketch's conditioning).
+# The final phase runs on the G-MULTIPLIED iterate, whose spectrum is the
+# SQUARE of the two-site spectrum (3 kept decades -> 6), further /16 by
+# the row-sum prescale: l0 = 1e-7 covers it (l0 = 3e-5 measured iso
+# 4.5e-2 on the gapped quality gates -- the deep directions entered below
+# the solved interval and never converged).
+_PE_LOOP = (1e-3, 0.25)
+_PE_FINAL = (1e-7, 1e-7)
+
+
+def _polar_ns_greedy(y, coeffs):
+    """Matmul-only polar orthonormalisation of ``y (I, q)`` with a
+    per-pass coefficient schedule from ``_pe_schedule``.
+
+    Safety: the prescale is the EXACT row-sum bound
+    ||W||_inf >= sigma_max^2 (PSD W = Y^T Y), so every singular value
+    enters pass 1 inside the solved interval [l0, 1]; each pass maps its
+    interval to [1-E, 1+E], which is exactly the next pass's solved
+    domain -- no invariant-region or clamping argument needed. (A
+    Rayleigh-estimate prescale is NOT a guaranteed bound: a structured W
+    can enter above the solved interval => overflow => NaN => the
+    dead-mask zeroes the model -- observed in round-2 training.) The
+    row-sum bound overestimates sigma_max by at most sqrt(q) ~ 16x,
+    which l0 must absorb (see ``_pe_schedule``).
+
+    Precision: Mosaic rejects Precision.HIGH, and DEFAULT/bf16 puts
+    ~8e-3 noise on W (replaces sub-1e-2 directions with junk; measured
+    unusable round 3) -- every dot runs at HIGHEST. Sub-l0 directions
+    come out CONTRACTED, never junk unit columns (the cholqr
+    annihilation contract): the dead-tol colnorm zeroes exact-dead
+    columns first, and the schedule's total slope product lifts 1e-6
+    noise only to ~0.2.
     """
-    q = y.shape[1]
-    eye = jnp.eye(q, dtype=y.dtype)
-    hi = jax.lax.Precision.HIGHEST
-    # Mosaic rejects Precision.HIGH ("Unsupported dot precision") -- the
-    # NS phase runs at HIGHEST too. (DEFAULT/bf16 would put ~8e-3 noise on
-    # W, replacing sub-1e-2 directions with junk; measured unusable.)
+    eye = jnp.eye(y.shape[1], dtype=y.dtype)
     md = jax.lax.Precision.HIGHEST
     w = _dot(y, y, _DN_T, md)
     rowsum = jnp.max(jnp.sum(jnp.abs(w), axis=1))  # >= sigma_max^2 (PSD)
     y = y / jnp.sqrt(jnp.maximum(rowsum, 1e-30))
-    a, b, c = _QUINTIC
-    for _ in range(n_quintic):
+    for a, b, c in coeffs:
         w = _dot(y, y, _DN_T, md)
         p = a * eye + b * w + c * _dot(w, w, _DN, md)
         y = _dot(y, p, _DN, md)
-    for _ in range(n_cubic):
-        w = _dot(y, y, _DN_T, md)
-        y = _dot(y, 1.5 * eye - 0.5 * w, _DN, md)
-    for _ in range(n_cubic_hi):
-        w = _dot(y, y, _DN_T, hi)
-        y = _dot(y, 1.5 * eye - 0.5 * w, _DN, hi)
     return y
-
 
 
 def _tile_j(I: int, J: int, max_bytes: int = 2 ** 19):
@@ -143,8 +191,7 @@ def _tile_j(I: int, J: int, max_bytes: int = 2 ** 19):
 
 def _polar_split_kernel(
     b_ref, om_ref, q_ref, y_acc, g_acc, n2_acc, *,
-    n_power: int, loop_quintic: int, loop_cubic: int, final_quintic: int,
-    final_cubic: int, dead_tol: float,
+    n_power: int, loop_coeffs: tuple, final_coeffs: tuple, dead_tol: float,
 ):
     i = pl.program_id(0)
     nc = pl.num_programs(0)
@@ -167,28 +214,25 @@ def _polar_split_kernel(
         y = y_acc[:, :]
         for _ in range(n_power):
             y = _colnorm(y, dead_tol)
-            y = _polar_ns(y, loop_quintic, loop_cubic)
+            y = _polar_ns_greedy(y, loop_coeffs)
             y = _dot(g, y)
         y = _colnorm(y, dead_tol)
-        q = _polar_ns(y, final_quintic, final_cubic, n_cubic_hi=3)
+        q = _polar_ns_greedy(y, final_coeffs)
         q_ref[:, :] = q.astype(q_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "rank", "n_power", "loop_quintic", "loop_cubic", "final_quintic",
-        "final_cubic", "interpret",
+        "rank", "n_power", "loop_coeffs", "final_coeffs", "interpret",
     ),
 )
 def polar_split_pallas(
     bmat: jnp.ndarray,
     rank: int,
     n_power: int = 1,
-    loop_quintic: int = 7,
-    loop_cubic: int = 1,
-    final_quintic: int = 9,
-    final_cubic: int = 9,
+    loop_coeffs: tuple = None,
+    final_coeffs: tuple = None,
     interpret: bool = False,
 ):
     """Canonical split ``bmat (I, J) -> (Q (I, rank) isometric, R = Q^T B)``
@@ -204,6 +248,10 @@ def polar_split_pallas(
     dead_tol = 1e-6 if bmat.dtype != jnp.float64 else 1e-12
     if bmat.dtype not in (jnp.float32,):
         bmat = bmat.astype(jnp.float32)
+    if loop_coeffs is None:
+        loop_coeffs = _pe_schedule(*_PE_LOOP)
+    if final_coeffs is None:
+        final_coeffs = _pe_schedule(*_PE_FINAL)
 
     # J-tiling: see _tile_j -- <= 2048-column chunks keep the
     # double-buffered input blocks + scratch inside the ~16 MB VMEM at any
@@ -220,9 +268,8 @@ def polar_split_pallas(
     q = pl.pallas_call(
         functools.partial(
             _polar_split_kernel,
-            n_power=n_power, loop_quintic=loop_quintic,
-            loop_cubic=loop_cubic, final_quintic=final_quintic,
-            final_cubic=final_cubic, dead_tol=dead_tol,
+            n_power=n_power, loop_coeffs=loop_coeffs,
+            final_coeffs=final_coeffs, dead_tol=dead_tol,
         ),
         grid=(nc,),
         in_specs=[
@@ -447,17 +494,26 @@ def _sketch_gram_kernel(b_ref, om_ref, y_ref, g_ref, n2_ref):
     n2_ref[0, 0] += jnp.sum(b * b)
 
 
-def _iterate_kernel(y_ref, g_ref, n2_ref, q_ref, *, n_power, loop_quintic,
-                    loop_cubic, final_quintic, final_cubic, dead_tol):
-    bn2 = jnp.maximum(n2_ref[0, 0], 1e-30)
+def _iterate_kernel(y_ref, g_ref, n2_ref, q_ref, *, n_power, loop_coeffs,
+                    final_coeffs, dead_tol, n2_from_trace=False):
+    if n2_from_trace:
+        # n2 = |B|_F^2 = tr(B B^T) = tr(G): reading it off the Gram block
+        # saves the caller two XLA ops (reduction + reshape) per split
+        I = g_ref.shape[0]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (I, I), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (I, I), 1)
+        bn2 = jnp.sum(jnp.where(ri == ci, g_ref[:, :], 0.0))
+    else:
+        bn2 = n2_ref[0, 0]
+    bn2 = jnp.maximum(bn2, 1e-30)
     g = g_ref[:, :] / bn2
     y = y_ref[:, :]
     for _ in range(n_power):
         y = _colnorm(y, dead_tol)
-        y = _polar_ns(y, loop_quintic, loop_cubic)
+        y = _polar_ns_greedy(y, loop_coeffs)
         y = _dot(g, y)
     y = _colnorm(y, dead_tol)
-    q = _polar_ns(y, final_quintic, final_cubic, n_cubic_hi=3)
+    q = _polar_ns_greedy(y, final_coeffs)
     q_ref[:, :] = q.astype(q_ref.dtype)
 
 
@@ -502,28 +558,38 @@ def polar_sketch_gram_pallas(bmat, om, interpret: bool = False):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_power", "loop_quintic", "loop_cubic", "final_quintic",
-        "final_cubic", "dead_tol", "interpret",
+        "n_power", "loop_coeffs", "final_coeffs", "dead_tol", "interpret",
     ),
 )
 def polar_iterate_pallas(
-    y, g, n2,
+    y, g, n2=None,
     n_power: int = 1,
-    loop_quintic: int = 7,
-    loop_cubic: int = 1,
-    final_quintic: int = 9,
-    final_cubic: int = 9,
+    loop_coeffs: tuple = None,
+    final_coeffs: tuple = None,
     dead_tol: float = 1e-6,
     interpret: bool = False,
 ):
-    """Stage 2: the replicated subspace iteration -> isometric ``Q``."""
+    """Stage 2: the replicated subspace iteration -> isometric ``Q``.
+
+    ``n2`` is ``|B|_F^2`` as a (1, 1) array; pass ``None`` to have the
+    kernel read it off ``tr(G)`` (valid whenever ``g`` is the UNSCALED
+    Gram ``B B^T``, as in ``hybrid_polar_split`` -- the sharded callers
+    in ``parallel/dist_split.py`` pass an explicitly psum'd n2 instead
+    because their local ``g`` shard is partial)."""
     I, q_cols = y.shape
+    if loop_coeffs is None:
+        loop_coeffs = _pe_schedule(*_PE_LOOP)
+    if final_coeffs is None:
+        final_coeffs = _pe_schedule(*_PE_FINAL)
+    n2_from_trace = n2 is None
+    if n2_from_trace:
+        n2 = jnp.zeros((1, 1), dtype=jnp.float32)
     return pl.pallas_call(
         functools.partial(
             _iterate_kernel,
-            n_power=n_power, loop_quintic=loop_quintic,
-            loop_cubic=loop_cubic, final_quintic=final_quintic,
-            final_cubic=final_cubic, dead_tol=dead_tol,
+            n_power=n_power, loop_coeffs=loop_coeffs,
+            final_coeffs=final_coeffs, dead_tol=dead_tol,
+            n2_from_trace=n2_from_trace,
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -536,21 +602,66 @@ def polar_iterate_pallas(
     )(y, g, n2)
 
 
+@functools.partial(jax.jit, static_argnames=("rank", "interpret"))
+def hybrid_polar_split(bmat: jnp.ndarray, rank: int, interpret: bool = False):
+    """Production sequential-sweep split: XLA batch matmuls + ONE small
+    Mosaic program for the serial subspace iteration.
+
+    Same contract as ``polar_split_pallas`` / ``batched_cholqr_split``
+    (canonical gauge ``Q (I, rank)`` isometric, ``R = Q^T B``, dead
+    directions contracted). The work is placed by what each engine is
+    good at, from the measured in-sweep decomposition at the flagship
+    config (N=196 M=128 B=256, round 4):
+
+      * sketch ``Y0 = B om``, Gram ``G = B B^T``, and ``R = Q^T B`` are
+        MXU-shaped batch matmuls -> XLA, pipelined with the step's other
+        ops, at the SWEEP's matmul precision (unannotated dots follow
+        ``jax.default_matmul_precision``, so ``SweepConfig
+        (matmul_precision="float32")`` still forces full precision).
+        bf16 Gram measured quality-identical on the gapped two-site gate
+        (iso 8.3e-7, capture parity with HIGHEST).
+      * the polar-NS subspace iteration is ~60 serial 128-wide matmuls
+        -- XLA pays ~2.5 us dispatch per op (results/
+        profile_sweep_ablation.json), Mosaic runs them back-to-back at
+        ~1.2 us/pass -> ``polar_iterate_pallas`` (n2 read off tr(G)).
+
+    vs the all-Mosaic ``polar_split_pallas`` (which streams B through
+    VMEM in J-tiles and pays the Gram at Precision.HIGHEST inside the
+    kernel): 16.6 vs 20.9 ms/sweep at the flagship config. The all-Mosaic
+    forms remain for the sharded splits (``parallel/dist_split.py``,
+    where the J-streaming IS the sharding) and the fused step engine.
+    """
+    from tensornetworkforml_tpu.ops.svd import _rangefinder_omega
+
+    out_dtype = bmat.dtype
+    I, J = bmat.shape
+    q_cols = min(rank, I)
+    dead_tol = 1e-6 if bmat.dtype != jnp.float64 else 1e-12
+    b32 = bmat if bmat.dtype == jnp.float32 else bmat.astype(jnp.float32)
+    om = _rangefinder_omega(J, q_cols, jnp.float32)
+    y0 = jnp.dot(b32, om)
+    g = jnp.dot(b32, b32.T)
+    q = polar_iterate_pallas(y0, g, dead_tol=dead_tol, interpret=interpret)
+    if q_cols < rank:
+        q = jnp.concatenate(
+            [q, jnp.zeros((I, rank - q_cols), dtype=q.dtype)], axis=1
+        )
+    r = jnp.dot(q.T, b32)
+    return q.astype(out_dtype), r.astype(out_dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "rank", "n_power", "loop_quintic", "loop_cubic", "final_quintic",
-        "final_cubic", "interpret",
+        "rank", "n_power", "loop_coeffs", "final_coeffs", "interpret",
     ),
 )
 def polar_split_two_stage(
     bmat: jnp.ndarray,
     rank: int,
     n_power: int = 1,
-    loop_quintic: int = 7,
-    loop_cubic: int = 1,
-    final_quintic: int = 9,
-    final_cubic: int = 9,
+    loop_coeffs: tuple = None,
+    final_coeffs: tuple = None,
     interpret: bool = False,
 ):
     """Same contract as ``polar_split_pallas`` but as TWO Mosaic programs
@@ -572,9 +683,8 @@ def polar_split_two_stage(
     y, g, n2 = polar_sketch_gram_pallas(bmat, om, interpret=interpret)
     q = polar_iterate_pallas(  # the iterate kernel divides g by n2 itself
         y, g, n2,
-        n_power=n_power, loop_quintic=loop_quintic, loop_cubic=loop_cubic,
-        final_quintic=final_quintic, final_cubic=final_cubic,
-        dead_tol=dead_tol, interpret=interpret,
+        n_power=n_power, loop_coeffs=loop_coeffs,
+        final_coeffs=final_coeffs, dead_tol=dead_tol, interpret=interpret,
     )
     if q_cols < rank:
         q = jnp.concatenate(

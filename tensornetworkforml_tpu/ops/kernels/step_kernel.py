@@ -49,9 +49,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tensornetworkforml_tpu.ops.kernels.polar_split import (
+    _PE_FINAL,
+    _PE_LOOP,
     _colnorm,
     _dot,
-    _polar_ns,
+    _pe_schedule,
+    _polar_ns_greedy,
 )
 
 _HI = jax.lax.Precision.HIGHEST
@@ -103,10 +106,8 @@ def _step_kernel(
     renorm_envs: bool,
     growth_cap: float,
     dead_tol: float,
-    loop_quintic: int,
-    loop_cubic: int,
-    final_quintic: int,
-    final_cubic: int,
+    loop_coeffs: tuple,
+    final_coeffs: tuple,
 ):
     from tensornetworkforml_tpu.models.mps import (
         apply_act_fn,
@@ -231,10 +232,10 @@ def _step_kernel(
         g += _dot(bn[o], bn[o], (((1,), (1,)), ((), ())))
     g = g / jnp.maximum(n2, 1e-30)
     y = _colnorm(y, dead_tol)
-    y = _polar_ns(y, loop_quintic, loop_cubic)
+    y = _polar_ns_greedy(y, loop_coeffs)
     y = _dot(g, y)
     y = _colnorm(y, dead_tol)
-    q = _polar_ns(y, final_quintic, final_cubic, n_cubic_hi=3)  # (I, M)
+    q = _polar_ns_greedy(y, final_coeffs)  # (I, M)
 
     lenv_new = _dot(left, q)  # (B, M)
     if renorm_envs:
@@ -308,7 +309,8 @@ def two_site_step_pallas(
         act_fn=act_fn, loss_fn=loss_fn, T=T,
         renorm_envs=renorm_envs, growth_cap=growth_cap,
         dead_tol=dead_tol,
-        loop_quintic=7, loop_cubic=1, final_quintic=9, final_cubic=9,
+        loop_coeffs=_pe_schedule(*_PE_LOOP),
+        final_coeffs=_pe_schedule(*_PE_FINAL),
     )
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     a_left, lab_new2, lenv_new, f_new, metrics = pl.pallas_call(

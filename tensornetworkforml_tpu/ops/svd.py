@@ -28,13 +28,16 @@ Backends:
     split.
   * ``"cholsvd"`` -- SVD of the Cholesky factor of ``B B^T`` (true
     singular values from a small square SVD).
-  * ``"polar"`` -- fused Pallas polar-NS split (canonical mode only):
-    the whole sketch + Gram + subspace iteration runs in ONE Mosaic
-    kernel with matmul-only Newton-Schulz orthonormalisation
-    (``ops/kernels/polar_split.py``). Built because round-3 profiling
-    showed EVERY XLA-composed split is floored near ~150 us/step by
-    per-op dispatch latency (~2.5 us/op, ~30 us per Cholesky+solve),
-    regardless of arithmetic.
+  * ``"polar"`` -- hybrid polar-NS split (canonical mode only): XLA
+    computes the MXU-shaped sketch/Gram/R matmuls, ONE small Mosaic
+    program runs the serial matmul-only Newton-Schulz subspace
+    iteration (``ops/kernels/polar_split.py::hybrid_polar_split``).
+    Built because round-3/4 profiling showed EVERY XLA-composed split
+    is floored near ~150 us/step by per-op dispatch latency (~2.5
+    us/op, ~30 us per Cholesky+solve) while all-Mosaic forms pay VMEM
+    streaming + HIGHEST-precision Gram inside the kernel; the hybrid
+    splits the work by what each engine is good at (the fastest
+    measured sequential-sweep split: 16.6 ms flagship sweep).
 """
 
 from __future__ import annotations
@@ -117,35 +120,28 @@ def truncated_svd_split(
         import jax
 
         from tensornetworkforml_tpu.ops.kernels.polar_split import (
-            polar_split_pallas,
+            hybrid_polar_split,
         )
 
-        # Mosaic compile limits, bisected on hardware (round 3): the
-        # original "I >= 384 crashes" was two separate block-byte limits.
-        # (a) Input blocks >= ~3 MB crash the remote compiler -- fixed by
-        # the 2 MB J-tile cap (polar_split._tile_j), which unlocks the
-        # fused kernel through I = 384 (M = 192). (b) The fused kernel's
-        # unrolled NS phase still crashes above that; the TWO-STAGE form
-        # (sketch/Gram kernel + iterate kernel) compiles and runs at
-        # I = 512 (M = 256, iso 2.4e-7 on hardware). (c) At I = 1024 the
-        # (I, I) Gram output block itself exceeds the ~3 MB limit -- the
-        # GRAM-FREE form (round 4) removes the (I, I) array entirely via
+        # Production form (round 4): the HYBRID split -- XLA sketch/Gram/R
+        # matmuls + one small Mosaic program for the serial NS iteration
+        # (hybrid_polar_split docstring has the measured decomposition;
+        # 16.6 vs 20.9 ms flagship sweep against the all-Mosaic kernel).
+        # Mosaic compile limits, bisected on hardware (round 3): input/
+        # output blocks >= ~3 MB crash the remote compiler. The hybrid
+        # iterate kernel holds Y (I, q) + G (I, I) + Q in VMEM -- G hits
+        # the block limit above I = 768; beyond that the GRAM-FREE form
+        # (round 4) removes the (I, I) array entirely via
         # G @ y = B (B^T y), unlocking I >= 1024 (M >= 512).
         I = bmat.shape[0]
         on_tpu = jax.default_backend() == "tpu"
-        if I > 512 and on_tpu:
+        if I > 768 and on_tpu:
             from tensornetworkforml_tpu.ops.kernels.polar_split import (
                 gramfree_split,
             )
 
             return gramfree_split(bmat, rank)
-        if I > 384 and on_tpu:
-            from tensornetworkforml_tpu.ops.kernels.polar_split import (
-                polar_split_two_stage,
-            )
-
-            return polar_split_two_stage(bmat, rank)
-        return polar_split_pallas(bmat, rank, interpret=not on_tpu)
+        return hybrid_polar_split(bmat, rank, interpret=not on_tpu)
     elif method == "rangefinder":
         # auto-dispatch: above the crossover the fused Pallas kernel beats
         # the XLA qr/eigh chain (whose latency grows badly with size):

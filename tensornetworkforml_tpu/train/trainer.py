@@ -114,6 +114,35 @@ def evaluate_accuracy(mps: MPS, loader) -> float:
     return float(np.mean(accs))
 
 
+def stall_detected(
+    val_acc,
+    warmup_epochs: int = 0,
+    patience: int = 2,
+    min_delta: float = 0.005,
+    threshold: float = 0.95,
+) -> bool:
+    """True when a per-epoch validation-accuracy series has PLATEAUED
+    below ``threshold``: the last ``patience`` epochs improved the best
+    prior value by at most ``min_delta``, with at least one pre-window
+    epoch after warmup to compare against.
+
+    This is the stalled-init-basin signature measured on the large-batch
+    recipe (results/recipe_robustness.json: one seed in five settles flat
+    at ~0.84 at B=256 while the rest reach ~1.0 within two epochs, and a
+    later small-batch polish does NOT recover it -- BENCH_NOTES round 3).
+    Runs that reach ``threshold`` are never flagged, so converged-good
+    plateaus (e.g. holding 1.0) don't trigger restarts.
+    """
+    vals = [float(v) for v in val_acc]
+    if len(vals) < warmup_epochs + patience + 1:
+        return False
+    if max(vals) >= threshold:
+        return False
+    window = vals[-patience:]
+    prior = max(vals[:-patience])
+    return max(window) <= prior + min_delta
+
+
 def train_model(
     mps: MPS,
     train_loader,
@@ -136,6 +165,11 @@ def train_model(
     warmup_epochs: int = 0,
     warmup_batch_divisor: Optional[int] = None,
     bond_schedule: Optional[dict] = None,
+    restarts: int = 0,
+    reinit_fn: Optional[Callable[[int], MPS]] = None,
+    stall_patience: int = 2,
+    stall_min_delta: float = 0.005,
+    stall_threshold: float = 0.95,
 ):
     """Train an MPS; returns ``(mps, val_acc, var_hist)``.
 
@@ -175,6 +209,19 @@ def train_model(
     (``models.mps.grow_bond``: zero padding, function preserved exactly;
     one re-jit per growth). Grow-as-you-train approaches large-M quality
     without paying max-M sweep cost from epoch 0.
+
+    ``restarts``: the greedy bond-wise optimisation has init-dependent
+    attractors -- at B > 128 roughly one seed in five settles into a flat
+    sub-0.9 basin that neither more epochs nor a later small-batch phase
+    recovers (measured, BENCH_NOTES round 3). With ``restarts=k``, a run
+    whose validation accuracy plateaus below ``stall_threshold`` for
+    ``stall_patience`` epochs (``stall_detected``) is ABORTED and retried
+    from a fresh init up to ``k`` times; the attempt with the best final
+    validation accuracy is returned. Requires ``reinit_fn(attempt) ->
+    MPS`` (attempt >= 1) supplying the fresh inits -- pass e.g. a
+    ``product_init`` closure over a reseeded PRNG key. Checkpoint files
+    track the CURRENT attempt; resuming an interrupted run re-enters the
+    first attempt.
     """
     start_epoch = 0
     if checkpoint_path and resume and os.path.exists(checkpoint_path):
@@ -222,120 +269,157 @@ def train_model(
             train_loader, warm_b, even_batches=True,
         )
 
-    for epoch in range(start_epoch, n_epochs):
-        if bond_schedule and epoch in bond_schedule:
-            from tensornetworkforml_tpu.models.mps import grow_bond
+    def _run_attempt(mps, first_epoch, abort_on_stall):
+        """One training attempt; returns ``(mps, val_acc, var_hist,
+        stalled)`` where ``stalled`` means the attempt was aborted by
+        ``stall_detected`` (only possible when ``abort_on_stall``)."""
+        nonlocal fallback_warned
+        val_acc: list[float] = []
+        var_hist: list[list[np.ndarray]] = []
+        stalled = False
+        for epoch in range(first_epoch, n_epochs):
+            if bond_schedule and epoch in bond_schedule:
+                from tensornetworkforml_tpu.models.mps import grow_bond
 
-            new_M = int(bond_schedule[epoch])
-            if verbose and new_M > mps.M:
-                print(f"epoch {epoch}: growing bond dimension "
-                      f"{mps.M} -> {new_M}")
-            mps = grow_bond(mps, new_M)
-        epoch_loader = (
-            warm_loader if epoch < warmup_epochs else train_loader
-        )
-        epoch_lr = float(lr_fn(epoch))
-        epoch_series: dict[str, list[np.ndarray]] = {k: [] for k in series}
-        train_accs = []
-
-        # Whole-epoch fusion: when the epoch's batches are uniform raw-pixel
-        # arrays (and the config allows it), run the ENTIRE epoch as one
-        # device program (train/epoch.py) -- one dispatch instead of one per
-        # batch. Falls back to the per-batch loop otherwise.
-        batch_iter = None
-        fallback_reason = None
-        if fused and not debug and cfg.rank_mode == "fixed" and mps.l_pos == 0:
-            batches = list(_loader_batches(epoch_loader))
-            xs_np = [np.asarray(x) for x, _ in batches]
-            ys_np = [np.asarray(y) for _, y in batches]
-            uniform = (
-                len(batches) >= 2
-                and len(batches) % 2 == 0
-                and all(x.ndim == 2 for x in xs_np)
-                and len({x.shape for x in xs_np}) == 1
-                and len({y.shape for y in ys_np}) == 1
+                new_M = int(bond_schedule[epoch])
+                if verbose and new_M > mps.M:
+                    print(f"epoch {epoch}: growing bond dimension "
+                          f"{mps.M} -> {new_M}")
+                mps = grow_bond(mps, new_M)
+            epoch_loader = (
+                warm_loader if epoch < warmup_epochs else train_loader
             )
-            if uniform:
-                from tensornetworkforml_tpu.train.epoch import fused_epoch
+            epoch_lr = float(lr_fn(epoch))
+            epoch_series: dict[str, list[np.ndarray]] = {k: [] for k in series}
+            train_accs = []
 
-                mps, accs, stepm = fused_epoch(
-                    mps, np.stack(xs_np), np.stack(ys_np), epoch_lr,
-                    weight_dec, cfg,
+            # Whole-epoch fusion: when the epoch's batches are uniform raw-pixel
+            # arrays (and the config allows it), run the ENTIRE epoch as one
+            # device program (train/epoch.py) -- one dispatch instead of one per
+            # batch. Falls back to the per-batch loop otherwise.
+            batch_iter = None
+            fallback_reason = None
+            if fused and not debug and cfg.rank_mode == "fixed" and mps.l_pos == 0:
+                batches = list(_loader_batches(epoch_loader))
+                xs_np = [np.asarray(x) for x, _ in batches]
+                ys_np = [np.asarray(y) for _, y in batches]
+                uniform = (
+                    len(batches) >= 2
+                    and len(batches) % 2 == 0
+                    and all(x.ndim == 2 for x in xs_np)
+                    and len({x.shape for x in xs_np}) == 1
+                    and len({y.shape for y in ys_np}) == 1
                 )
-                train_accs = [float(a) for a in np.asarray(accs)]
-                epoch_series["accuracy"].append(
-                    np.asarray(stepm["accuracy"]).reshape(-1)
-                )
-                epoch_series["MAE"].append(np.asarray(stepm["MAE"]).reshape(-1))
-                batch_iter = ()  # epoch fully handled by the fused program
-            else:
-                fallback_reason = (
-                    "non-uniform batch shapes or odd batch count"
-                )
-                batch_iter = iter(batches)  # replay the drawn batches
-        if batch_iter is None:
-            if fused and not debug:
-                fallback_reason = (
-                    f"rank_mode={cfg.rank_mode!r}"
-                    if cfg.rank_mode != "fixed"
-                    else f"label leg at site {mps.l_pos} (needs 0)"
-                )
-            batch_iter = _loader_batches(epoch_loader)
-        if fallback_reason is not None and not fallback_warned:
-            import warnings
+                if uniform:
+                    from tensornetworkforml_tpu.train.epoch import fused_epoch
 
-            fallback_warned = True
-            warnings.warn(
-                "fused-epoch path unavailable ({}); falling back to one "
-                "dispatch PER BATCH -- on a high-latency device link this "
-                "is a 10-100x slowdown".format(fallback_reason),
-                stacklevel=2,
+                    mps, accs, stepm = fused_epoch(
+                        mps, np.stack(xs_np), np.stack(ys_np), epoch_lr,
+                        weight_dec, cfg,
+                    )
+                    train_accs = [float(a) for a in np.asarray(accs)]
+                    epoch_series["accuracy"].append(
+                        np.asarray(stepm["accuracy"]).reshape(-1)
+                    )
+                    epoch_series["MAE"].append(np.asarray(stepm["MAE"]).reshape(-1))
+                    batch_iter = ()  # epoch fully handled by the fused program
+                else:
+                    fallback_reason = (
+                        "non-uniform batch shapes or odd batch count"
+                    )
+                    batch_iter = iter(batches)  # replay the drawn batches
+            if batch_iter is None:
+                if fused and not debug:
+                    fallback_reason = (
+                        f"rank_mode={cfg.rank_mode!r}"
+                        if cfg.rank_mode != "fixed"
+                        else f"label leg at site {mps.l_pos} (needs 0)"
+                    )
+                batch_iter = _loader_batches(epoch_loader)
+            if fallback_reason is not None and not fallback_warned:
+                import warnings
+
+                fallback_warned = True
+                warnings.warn(
+                    "fused-epoch path unavailable ({}); falling back to one "
+                    "dispatch PER BATCH -- on a high-latency device link this "
+                    "is a 10-100x slowdown".format(fallback_reason),
+                    stacklevel=2,
+                )
+
+            n_batches = len(epoch_loader) if hasattr(epoch_loader, "__len__") else None
+            for i, (x, y) in enumerate(batch_iter):
+                phi = _as_phi(x, mps.dtype)
+                y = jnp.asarray(np.asarray(y))
+                y_onehot = jnp.zeros((mps.L, y.shape[0]), dtype=mps.dtype)
+                y_onehot = y_onehot.at[y, jnp.arange(y.shape[0])].set(1.0)
+
+                mps, f0, _, metrics = sweep_once(
+                    mps, phi, y_onehot, epoch_lr, weight_dec, cfg
+                )
+                batch_acc = float(accuracy_from_scores(f0, y))
+                train_accs.append(batch_acc)
+                for k in series:
+                    epoch_series[k].append(np.asarray(metrics[k]))
+
+                if verbose:
+                    frac = (i + 1) * 100 / n_batches if n_batches else 0.0
+                    print(
+                        f"\rEpoch {epoch}/{n_epochs} - train accuracy : "
+                        f"{batch_acc:.4f} - completed : {frac:.2f} %",
+                        end=" ",
+                    )
+
+            var_hist.append(
+                [np.concatenate(epoch_series[k]) for k in series]
+                if train_accs
+                else [np.zeros((0,)) for _ in series]
             )
 
-        n_batches = len(epoch_loader) if hasattr(epoch_loader, "__len__") else None
-        for i, (x, y) in enumerate(batch_iter):
-            phi = _as_phi(x, mps.dtype)
-            y = jnp.asarray(np.asarray(y))
-            y_onehot = jnp.zeros((mps.L, y.shape[0]), dtype=mps.dtype)
-            y_onehot = y_onehot.at[y, jnp.arange(y.shape[0])].set(1.0)
-
-            mps, f0, _, metrics = sweep_once(
-                mps, phi, y_onehot, epoch_lr, weight_dec, cfg
-            )
-            batch_acc = float(accuracy_from_scores(f0, y))
-            train_accs.append(batch_acc)
-            for k in series:
-                epoch_series[k].append(np.asarray(metrics[k]))
-
+            epoch_val = evaluate_accuracy(mps, val_loader)
+            val_acc.append(epoch_val)
+            if abort_on_stall and stall_detected(
+                val_acc, warmup_epochs, stall_patience, stall_min_delta,
+                stall_threshold,
+            ):
+                stalled = True
             if verbose:
-                frac = (i + 1) * 100 / n_batches if n_batches else 0.0
                 print(
                     f"\rEpoch {epoch}/{n_epochs} - train accuracy : "
-                    f"{batch_acc:.4f} - completed : {frac:.2f} %",
-                    end=" ",
+                    f"{np.mean(train_accs):.4f} - val accuracy: {epoch_val:.4f}"
+                )
+            if checkpoint_path:
+                from tensornetworkforml_tpu.utils.checkpoint import (
+                    save_training_state,
                 )
 
-        var_hist.append(
-            [np.concatenate(epoch_series[k]) for k in series]
-            if train_accs
-            else [np.zeros((0,)) for _ in series]
-        )
+                save_training_state(checkpoint_path, mps, epoch + 1)
+            if epoch_callback is not None:
+                epoch_callback(epoch, mps, epoch_val)
+            if stalled:
+                break
 
-        epoch_val = evaluate_accuracy(mps, val_loader)
-        val_acc.append(epoch_val)
+        return mps, val_acc, var_hist, stalled
+
+    if restarts > 0 and reinit_fn is None:
+        raise ValueError("restarts > 0 requires reinit_fn(attempt) -> MPS")
+    best = None
+    for attempt in range(max(0, int(restarts)) + 1):
+        model0 = mps if attempt == 0 else reinit_fn(attempt)
+        first = start_epoch if attempt == 0 else 0
+        abort = attempt < restarts
+        model, a_val, a_hist, stalled = _run_attempt(model0, first, abort)
+        score = a_val[-1] if a_val else float("-inf")
+        if best is None or score > best[0]:
+            best = (score, model, a_val, a_hist)
+        if not stalled:
+            break
         if verbose:
             print(
-                f"\rEpoch {epoch}/{n_epochs} - train accuracy : "
-                f"{np.mean(train_accs):.4f} - val accuracy: {epoch_val:.4f}"
+                f"validation stalled at {score:.4f}; restarting from a "
+                f"fresh init (attempt {attempt + 1}/{restarts})"
             )
-        if checkpoint_path:
-            from tensornetworkforml_tpu.utils.checkpoint import (
-                save_training_state,
-            )
-
-            save_training_state(checkpoint_path, mps, epoch + 1)
-        if epoch_callback is not None:
-            epoch_callback(epoch, mps, epoch_val)
+    _, mps, val_acc, var_hist = best
 
     try:
         var_hist_arr = np.array(var_hist)

@@ -379,3 +379,43 @@ def test_gramfree_split_dead_directions():
     np.testing.assert_allclose(
         np.asarray(q @ r), lowrank, rtol=1e-4, atol=1e-4
     )
+
+
+def test_hybrid_polar_split_contract_and_dispatch():
+    """hybrid_polar_split (the round-4 production TPU dispatch for
+    method='polar', ops/svd.py): XLA sketch/Gram/R + the Mosaic iterate
+    kernel (n2 read off tr(G)). Same omega and NS schedule as the
+    all-Mosaic kernel, so Q and R agree to f32 noise; quality contract
+    (capture/isometry/dead columns) holds standalone; rank > I pads Q
+    with zero columns like polar_split_pallas."""
+    from tensornetworkforml_tpu.ops.kernels.polar_split import (
+        hybrid_polar_split,
+        polar_split_pallas,
+    )
+
+    b = jnp.asarray(_gapped_matrix(128, 1280, 64, seed=11), dtype=jnp.float32)
+    q1, r1 = polar_split_pallas(b, 64, interpret=True)
+    q2, r2 = hybrid_polar_split(b, 64, interpret=True)
+    # XLA vs in-kernel dot accumulation order differs (the all-Mosaic
+    # kernel J-tiles B), and the ~19 NS passes amplify that f32 noise to
+    # ~1e-4 on the factors; the quality contract below is the tight gate
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-3)
+    s_true = np.linalg.svd(np.asarray(b), compute_uv=False)
+    cap = (np.asarray(r2) ** 2).sum() / (s_true[:64] ** 2).sum()
+    iso = np.abs(np.asarray(q2).T @ np.asarray(q2) - np.eye(64)).max()
+    assert cap > 1 - 1e-5 and iso < 1e-4
+
+    # dead-direction contract: zero input rows give exactly-zero Q rows
+    rng = np.random.default_rng(5)
+    bd = rng.standard_normal((64, 640)).astype(np.float32)
+    bd[32:, :] = 0.0
+    qd, rd = hybrid_polar_split(jnp.asarray(bd), 32, interpret=True)
+    assert np.abs(np.asarray(qd)[32:, :]).max() == 0.0
+    rec_err = np.abs(np.asarray(qd @ rd) - bd).max() / np.abs(bd).max()
+    assert rec_err < 1e-5
+
+    # rank > I: zero-padded Q columns, R row count matches the rank
+    qp, rp = hybrid_polar_split(b[:32, :128], 64, interpret=True)
+    assert qp.shape == (32, 64) and rp.shape == (64, 128)
+    assert np.abs(np.asarray(qp)[:, 32:]).max() == 0.0
