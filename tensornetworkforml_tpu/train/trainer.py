@@ -120,18 +120,30 @@ def stall_detected(
     patience: int = 2,
     min_delta: float = 0.005,
     threshold: float = 0.95,
+    n_epochs: int = None,
 ) -> bool:
-    """True when a per-epoch validation-accuracy series has PLATEAUED
-    below ``threshold``: the last ``patience`` epochs improved the best
-    prior value by at most ``min_delta``, with at least one pre-window
-    epoch after warmup to compare against.
+    """True when a per-epoch validation-accuracy series below
+    ``threshold`` has either PLATEAUED or cannot PROJECT to the
+    threshold inside the epoch budget:
 
-    This is the stalled-init-basin signature measured on the large-batch
-    recipe (results/recipe_robustness.json: one seed in five settles flat
-    at ~0.84 at B=256 while the rest reach ~1.0 within two epochs, and a
-    later small-batch polish does NOT recover it -- BENCH_NOTES round 3).
-    Runs that reach ``threshold`` are never flagged, so converged-good
-    plateaus (e.g. holding 1.0) don't trigger restarts.
+    * plateau: the last ``patience`` epochs improved the best prior
+      value by at most ``min_delta``;
+    * projection (only when ``n_epochs`` is given): extrapolating the
+      best value at the improvement rate of the last ``patience``
+      epochs over the remaining budget still lands below ``threshold``.
+      This catches the measured slow-creep basin (+0.006-0.01/epoch at
+      ~0.90 -- results/restart_gate.json seed 2) that clears the
+      plateau bar every epoch yet can never reach 0.95 in budget, while
+      leaving genuinely fast-improving runs alone.
+
+    Both arms need at least one post-warmup pre-window epoch to compare
+    against. This is the stalled-init-basin signature measured on the
+    large-batch recipe (results/recipe_robustness.json: one seed in five
+    settles flat at ~0.84 at B=256 while the rest reach ~1.0 within two
+    epochs, and a later small-batch polish does NOT recover it --
+    BENCH_NOTES round 3). Runs that reach ``threshold`` are never
+    flagged, so converged-good plateaus (e.g. holding 1.0) don't
+    trigger restarts.
     """
     vals = [float(v) for v in val_acc]
     if len(vals) < warmup_epochs + patience + 1:
@@ -140,7 +152,14 @@ def stall_detected(
         return False
     window = vals[-patience:]
     prior = max(vals[:-patience])
-    return max(window) <= prior + min_delta
+    if max(window) <= prior + min_delta:
+        return True
+    if n_epochs is not None:
+        best = max(vals)
+        rate = max(0.0, (best - prior) / patience)
+        remaining = max(0, int(n_epochs) - len(vals))
+        return best + rate * remaining < threshold
+    return False
 
 
 def train_model(
@@ -380,7 +399,7 @@ def train_model(
             val_acc.append(epoch_val)
             if abort_on_stall and stall_detected(
                 val_acc, warmup_epochs, stall_patience, stall_min_delta,
-                stall_threshold,
+                stall_threshold, n_epochs=n_epochs,
             ):
                 stalled = True
             if verbose:

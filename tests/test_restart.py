@@ -43,6 +43,22 @@ class TestStallDetected:
         assert stall_detected([0.5, 0.5, 0.504])
         assert not stall_detected([0.5, 0.5, 0.51])
 
+    def test_projection_catches_slow_creep_basin(self):
+        # The measured stuck-seed signature (restart_gate.json seed 2):
+        # +0.006/epoch at ~0.90 clears the plateau bar every epoch but
+        # cannot reach 0.95 within a 5-epoch budget.
+        creep = [0.8971, 0.8984, 0.9036, 0.9102]
+        assert not stall_detected(creep, warmup_epochs=1)  # plateau arm: no
+        assert stall_detected(creep, warmup_epochs=1, n_epochs=5)
+        # ... but with budget to spare the same series is left alone
+        assert not stall_detected(creep, warmup_epochs=1, n_epochs=20)
+
+    def test_projection_spares_fast_improvers(self):
+        # +0.15/epoch below threshold projects over it -> healthy
+        assert not stall_detected([0.5, 0.65, 0.8], n_epochs=5)
+        # same series with no remaining budget -> cannot make it
+        assert stall_detected([0.5, 0.65, 0.8], n_epochs=3)
+
 
 def _tiny_setup(seed=0):
     import jax
