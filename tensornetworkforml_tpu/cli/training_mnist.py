@@ -77,9 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
                         '"2:32,4:64" grows M to 32 at epoch 2 and 64 at '
                         'epoch 4 (zero-padded embedding, function '
                         'preserved exactly; one re-jit per growth)')
+    p.add_argument("--stall_threshold", type=float, default=0.95,
+                   help="validation accuracy above which a run is never "
+                        "flagged stalled (restart gate). LOWER this (or "
+                        "pass --restarts 0) on tasks whose attainable "
+                        "accuracy is below 0.95, otherwise every attempt "
+                        "is aborted as 'stalled' and the restart budget "
+                        "is burned on a healthy run")
     p.add_argument("--restarts", type=int, default=None,
                    help="max fresh-init retries when validation stalls "
-                        "below 0.95 (init-basin escape; see "
+                        "below --stall_threshold (init-basin escape; see "
                         "train_model docstring). Default: 2 when "
                         "batch_size > 128 (the regime with a measured "
                         "~1-in-5 stuck-seed rate), else 0")
@@ -382,7 +389,7 @@ def main(argv=None):
             growth_cap=growth_cap, checkpoint_path=args.checkpoint,
             resume=args.resume, warmup_epochs=warmup_epochs,
             bond_schedule=bond_schedule, restarts=restarts,
-            reinit_fn=reinit_fn,
+            reinit_fn=reinit_fn, stall_threshold=args.stall_threshold,
         )
 
     test_acc = evaluate_accuracy(mps, test_loader)

@@ -168,19 +168,20 @@ def _polar_ns_greedy(y, coeffs):
     return y
 
 
-def _tile_j(I: int, J: int, max_bytes: int = 2 ** 19):
+def _tile_j(I: int, J: int, max_bytes: int = 2 ** 21):
     """J-tiling for the (I, tj) input blocks: chunk width is a multiple
     of 128 (Mosaic lane constraint), <= 2048 columns, AND capped so one
-    block stays <= ``max_bytes`` (default 2 MB). The byte cap is
+    f32 block stays <= ``max_bytes`` BYTES (default 2 ** 21 = 2 MB; the
+    ``// 4`` below converts bytes -> f32 elements). The byte cap is
     load-bearing: Mosaic's remote compiler crashes (tpu_compile_helper
     exit 1) for blocks >= ~3 MB -- bisected on hardware round 3:
-    (384, 2048) f32 crashes while (384, 1024), (512, 1024), and
-    (320, 2048) compile. This was previously misattributed to the ROW
-    count (the old 'I >= 384' limitation); with the cap every I up to
-    >= 1024 compiles. The gram-free kernels pass 2 ** 18 (1 MB): at
-    I >= 1024 the double-buffered input blocks share the 16 MB VMEM
-    stack with the (I, q) accumulators. Returns ``(nc, tj, pad)`` with
-    ``nc * tj = J + pad``.
+    (384, 2048) f32 crashes (3 MB) while (384, 1024), (512, 1024), and
+    (320, 2048) compile (<= 2.5 MB). This was previously misattributed
+    to the ROW count (the old 'I >= 384' limitation); with the cap
+    every I up to >= 1024 compiles. The gram-free kernels pass 2 ** 20
+    (1 MB): at I >= 1024 the double-buffered input blocks share the
+    16 MB VMEM stack with the (I, q) accumulators. Returns
+    ``(nc, tj, pad)`` with ``nc * tj = J + pad``.
     """
     tj_cap = min(2048, max(128, 128 * ((max_bytes // 4 // max(I, 1)) // 128)))
     nc = max(1, -(-J // tj_cap))
@@ -406,7 +407,7 @@ def gramfree_split(
             c, q, left_side=False, lower=True, transpose_a=True
         )
 
-    nc, tj, pad = _tile_j(I, J, max_bytes=2 ** 18)
+    nc, tj, pad = _tile_j(I, J, max_bytes=2 ** 20)
     if pad:
         bmat = jnp.concatenate(
             [bmat, jnp.zeros((I, pad), dtype=bmat.dtype)], axis=1

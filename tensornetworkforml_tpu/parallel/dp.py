@@ -125,12 +125,24 @@ class ShardedTrainer:
         self.mps = mps
         self.lr = lr
         self.weight_dec = weight_dec
+        if dist_split != "none" and (
+            L2_flag if cfg is None else cfg.L2_flag
+        ):
+            # The bond-distributed split path has no transfer-matrix L2
+            # carry; silently dropping the regulariser would change the
+            # optimisation the user asked for.
+            raise ValueError(
+                "L2_flag=True is not supported with dist_split != 'none' "
+                "(exact transfer-matrix L2 is not implemented on the "
+                "bond-distributed split path); pass L2_flag=False or a "
+                "cfg with L2_flag=False, or use dist_split='none'"
+            )
         if cfg is None:
             split_mode = "canonical" if dist_split != "none" else "shared"
             cfg = SweepConfig(
                 act_fn=mps.act_fn,
                 loss_fn=mps.loss_fn,
-                L2_flag=L2_flag and dist_split == "none",
+                L2_flag=L2_flag,
                 svd_method=svd_method,
                 split_mode=split_mode,
             )

@@ -93,12 +93,14 @@ class BrickConfig(NamedTuple):
     # (never overshoots, but conservative); values in (1, 2) trade a
     # little overshoot for faster residual decay.
     line_search_relax: float = 1.0
-    # step floor, as a fraction of `lr`: when the weight-decay term
-    # dominates the clipped direction, <dF, loss_der> can go <= 0 and an
-    # unfloored line search takes a ZERO step -- silently stalling the
-    # layer (visible only through the 'gamma' metric). The floor keeps a
-    # small fixed step in that regime so regularisation still applies and
-    # training cannot deadlock; 0.0 restores the pure [0, lr] clamp.
+    # step floor, as a fraction of `lr`, applied ONLY when the
+    # linearized descent test fails (<dF, loss_der> <= 0): there the
+    # weight-decay term dominates the clipped direction and an unfloored
+    # line search takes a ZERO step -- silently stalling the layer
+    # (visible only through the 'gamma' metric). The floor keeps a small
+    # fixed step in that regime so regularisation still applies and
+    # training cannot deadlock; legitimately tiny minimizers near
+    # convergence are NOT floored. 0.0 disables the floor entirely.
     line_search_floor: float = 0.05
 
 
@@ -177,9 +179,13 @@ def _brick_layer(sites, w, phi_t, y_onehot, lr, weight_dec, parity, cfg, T):
         dF = jnp.einsum("kbc,kbco->ob", t2, Rk)
         num = jnp.sum(dF * loss_der)
         den = jnp.maximum(jnp.sum(dF * dF), 1e-30)
-        gamma = jnp.clip(
-            cfg.line_search_relax * num / den, cfg.line_search_floor * lr, lr
-        )
+        # Floor ONLY the num <= 0 regime (weight decay dominating the
+        # clipped direction -- the line search says "step increases
+        # loss", which deadlocks regularisation). A legitimately tiny
+        # minimizer near convergence keeps its unfloored value so the
+        # layer can settle instead of limit-cycling at 0.05*lr.
+        gamma_raw = jnp.clip(cfg.line_search_relax * num / den, 0.0, lr)
+        gamma = jnp.where(num <= 0, cfg.line_search_floor * lr, gamma_raw)
         step = gamma
     else:
         gamma = lr * jnp.ones((), dtype=dtype)

@@ -423,14 +423,16 @@ def train_model(
     if restarts > 0 and reinit_fn is None:
         raise ValueError("restarts > 0 requires reinit_fn(attempt) -> MPS")
     best = None
+    attempts_run = 0
     for attempt in range(max(0, int(restarts)) + 1):
         model0 = mps if attempt == 0 else reinit_fn(attempt)
         first = start_epoch if attempt == 0 else 0
         abort = attempt < restarts
         model, a_val, a_hist, stalled = _run_attempt(model0, first, abort)
+        attempts_run += 1
         score = a_val[-1] if a_val else float("-inf")
         if best is None or score > best[0]:
-            best = (score, model, a_val, a_hist)
+            best = (score, model, a_val, a_hist, first + len(a_val))
         if not stalled:
             break
         if verbose:
@@ -438,7 +440,18 @@ def train_model(
                 f"validation stalled at {score:.4f}; restarting from a "
                 f"fresh init (attempt {attempt + 1}/{restarts})"
             )
-    _, mps, val_acc, var_hist = best
+    _, mps, val_acc, var_hist, best_epoch = best
+    # Re-save the WINNING attempt: per-epoch checkpointing inside
+    # _run_attempt overwrites the same file each attempt, so without this
+    # the file on disk after return would hold the LAST attempt's state
+    # while the function returns the BEST attempt's -- a later --resume
+    # would silently pick up the worse model.
+    if checkpoint_path and attempts_run > 1:
+        from tensornetworkforml_tpu.utils.checkpoint import (
+            save_training_state,
+        )
+
+        save_training_state(checkpoint_path, mps, best_epoch)
 
     try:
         var_hist_arr = np.array(var_hist)
