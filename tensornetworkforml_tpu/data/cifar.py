@@ -46,6 +46,50 @@ def _read_batch(path: str):
     return imgs, labels
 
 
+# Published MD5 of the canonical archive (the torchvision CIFAR10 binary
+# resource constant); per-batch validation below is structural (record
+# geometry + label range), which also covers already-extracted batches.
+CIFAR10_BINARY_TGZ_MD5 = "c32a1d4ab5d03f1284b67883e8d87530"
+
+
+def verify_checksums(data_dir: str) -> dict:
+    """Validate CIFAR-10 files under ``data_dir``.
+
+    ``archive``: ``"ok"`` / ``"mismatch"`` / ``"missing"`` for the
+    ``cifar-10-binary.tar.gz`` md5. Each batch file: ``"shape-ok"`` when
+    it holds exactly 10000 records of 3073 bytes with labels in [0, 10),
+    ``"mismatch"`` otherwise, ``"missing"`` if absent.
+    """
+    import hashlib
+
+    out = {}
+    p = os.path.join(data_dir, "cifar-10-binary.tar.gz")
+    if os.path.exists(p):
+        with open(p, "rb") as fh:
+            md5 = hashlib.md5(fh.read()).hexdigest()
+        out["archive"] = "ok" if md5 == CIFAR10_BINARY_TGZ_MD5 else "mismatch"
+    else:
+        out["archive"] = "missing"
+    names = [f"data_batch_{i}.bin" for i in range(1, 6)] + ["test_batch.bin"]
+    for name in names:
+        found = None
+        for sub in ("", "cifar-10-batches-bin"):
+            q = os.path.join(data_dir, sub, name)
+            if os.path.exists(q):
+                found = q
+                break
+        if found is None:
+            out[name] = "missing"
+            continue
+        raw = np.fromfile(found, dtype=np.uint8)
+        ok = (
+            raw.size == 10000 * _RECORD
+            and np.all(raw.reshape(-1, _RECORD)[:, 0] < 10)
+        )
+        out[name] = "shape-ok" if ok else "mismatch"
+    return out
+
+
 def rgb_to_gray(imgs: np.ndarray) -> np.ndarray:
     """(B, 3, H, W) -> (B, H, W) luma grayscale."""
     r, g, b = imgs[:, 0], imgs[:, 1], imgs[:, 2]

@@ -92,6 +92,62 @@ def get_MNIST_dataset(
     )
 
 
+# Published MD5s of the canonical gzipped IDX files (the torchvision
+# `MNIST.resources` constants -- the same files the reference downloads
+# through torchvision, ``data_generator.py:55-87``). Used by
+# ``verify_checksums`` for instant validation when real files appear in
+# an environment.
+MNIST_GZ_MD5 = {
+    "train-images-idx3-ubyte.gz": "f68b3c2dcbeaaa9fbdd348bbdeb94873",
+    "train-labels-idx1-ubyte.gz": "d53e105ee54ea40749a09fcbcd1e9432",
+    "t10k-images-idx3-ubyte.gz": "9fb629c4189551a2d022fa330f9573f3",
+    "t10k-labels-idx1-ubyte.gz": "ec29112dd5afa0611ce80d1b7f02629c",
+}
+
+# IDX geometry of the canonical files: (magic ndim, dims). A cheap
+# structural check that works on BOTH gz and uncompressed copies, and on
+# files whose bytes differ benignly (re-compression) -- the md5 check
+# above then distinguishes pristine copies.
+MNIST_IDX_SHAPES = {
+    "train-images-idx3-ubyte": (60000, 28, 28),
+    "train-labels-idx1-ubyte": (60000,),
+    "t10k-images-idx3-ubyte": (10000, 28, 28),
+    "t10k-labels-idx1-ubyte": (10000,),
+}
+
+
+def verify_checksums(data_dir: str) -> dict:
+    """Validate MNIST files under ``data_dir``.
+
+    For each canonical file: ``"missing"`` if absent; ``"ok"`` if a .gz
+    copy matches its published md5; ``"shape-ok"`` if the md5 is
+    unavailable/mismatched for the found form (e.g. an uncompressed or
+    re-compressed copy) but the IDX header parses to the canonical
+    geometry; ``"mismatch"`` otherwise. A dataset whose every file is
+    ``ok``/``shape-ok`` is safe to train on.
+    """
+    import hashlib
+
+    out = {}
+    for base, shape in MNIST_IDX_SHAPES.items():
+        path = _find(data_dir, base)
+        if path is None:
+            out[base] = "missing"
+            continue
+        if path.endswith(".gz"):
+            with open(path, "rb") as fh:
+                md5 = hashlib.md5(fh.read()).hexdigest()
+            if md5 == MNIST_GZ_MD5[base + ".gz"]:
+                out[base] = "ok"
+                continue
+        try:
+            arr = _read_idx(path)
+            out[base] = "shape-ok" if arr.shape == shape else "mismatch"
+        except Exception:
+            out[base] = "mismatch"
+    return out
+
+
 def max_pool_2x2(x: np.ndarray) -> np.ndarray:
     """2x2 max-pool over the trailing two (even) spatial dims of ``(B,H,W)``."""
     b, h, w = x.shape

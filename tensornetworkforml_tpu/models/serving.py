@@ -92,10 +92,14 @@ class Predictor:
         l_pos = self.mps.l_pos
 
         # The fused Pallas embed+chain kernel is the single-chip TPU
-        # default: measured 612 us vs the XLA scan's 706 us per forward at
-        # N=196/M=64/B=256 (device time, in-jit loop), and it contracts at
-        # full f32 precision where the XLA path defaults to bf16 MXU
-        # passes (~1e-2..1e-1 relative drift over long chains).
+        # default. Re-measured round 5 (results/m512_profile.json,
+        # in-jit loop + host-fetch sync, N=196/M=64): 554 vs 660 us at
+        # B=256, 581 vs 778 at B=2048, and 753 vs 2213 at B=8192 --
+        # faster at every batch size, 2.9x at serving scale. (The round-4
+        # bench's one-off 1092-vs-686 reading did not reproduce -- tunnel
+        # noise.) It also contracts at full f32 precision where the XLA
+        # path defaults to bf16 MXU passes (~1e-2..1e-1 relative drift
+        # over long chains).
         if use_pallas is None:
             # mesh serving defaults to the XLA path (GSPMD-partitioned);
             # the shard_map'd kernel below is opt-in via use_pallas=True

@@ -319,7 +319,7 @@ def polar_split_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _sketch_kernel(b_ref, om_ref, y_ref, n2_ref):
+def _sketch_kernel(b_ref, om_ref, y_ref, n2_ref, *, prec):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -328,11 +328,11 @@ def _sketch_kernel(b_ref, om_ref, y_ref, n2_ref):
         n2_ref[0, 0] = 0.0
 
     b = b_ref[:, :].astype(jnp.float32)
-    y_ref[:, :] += _dot(b, om_ref[:, :].astype(jnp.float32))
+    y_ref[:, :] += _dot(b, om_ref[:, :].astype(jnp.float32), prec=prec)
     n2_ref[0, 0] += jnp.sum(b * b)
 
 
-def _gmul_kernel(b_ref, y1_ref, z_ref):
+def _gmul_kernel(b_ref, y1_ref, z_ref, *, prec):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -340,15 +340,19 @@ def _gmul_kernel(b_ref, y1_ref, z_ref):
         z_ref[:, :] = jnp.zeros_like(z_ref)
 
     b = b_ref[:, :].astype(jnp.float32)
-    t = _dot(b, y1_ref[:, :], _DN_T)  # (tj, q) = B_j^T y1
-    z_ref[:, :] += _dot(b, t)  # (I, q): G y1 accumulated chunk-wise
+    t = _dot(b, y1_ref[:, :], _DN_T, prec)  # (tj, q) = B_j^T y1
+    z_ref[:, :] += _dot(b, t, prec=prec)  # (I, q): G y1, chunk-wise
 
 
-@functools.partial(jax.jit, static_argnames=("rank", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rank", "interpret", "precision", "orth")
+)
 def gramfree_split(
     bmat: jnp.ndarray,
     rank: int,
     interpret: bool = False,
+    precision: str = "default",
+    orth: str = "ns",
 ):
     """LARGE-BOND canonical split (``ops/svd.py`` dispatches it for
     I > 512 on TPU, lifting the round-3 XLA-cholqr fallback): one-power-
@@ -372,6 +376,36 @@ def gramfree_split(
     Capture contract: same subspace as ``polar_split_pallas`` (the BASIS
     differs -- orth method is gauge, and canonical-mode training is
     invariant to it).
+
+    ``precision`` ("default" | "highest") sets the MXU precision of the
+    J-carrying kernel matmuls AND of ``R = Q^T B``: "default" runs them
+    as single bf16 passes with f32 accumulation -- 6x the matmul
+    throughput of the round-4 hardcoded HIGHEST, and measured capture-
+    equivalent on the gapped two-site gate (the hybrid split's XLA
+    sketch/Gram/R already ran at the sweep's default precision with
+    quality parity; results/m512_profile.json). The small (I, q)/(q, q)
+    orthonormalisation work always stays full f32.
+
+    ``orth`` selects the orthonormalisation engine:
+      * ``"ns"`` (default) -- the greedy Polar-Express Newton-Schulz
+        orthonormalisation (``_polar_ns_greedy``: exact row-sum-bound
+        prescale, per-pass minimax quintics, dead-tol colnorm), run AS
+        XLA ops at HIGHEST precision. This is the SAME numerics the
+        Mosaic iterate kernel uses at I <= 768; at I = 1024, q = 512 the
+        in-kernel form hits Mosaic's VMEM-stack wall (round-4 finding:
+        21-31 MB, no buffer reuse across the unrolled pass chain) but
+        XLA has no such limit -- and each XLA Cholesky+solve pair costs
+        ~854 us at this shape (measured, results/m512_profile.json)
+        vs ~40 us of matmul work per NS pass, so the round-4 cholqr
+        chain (6 pairs, ~2.2 ms) was the split's dominant cost.
+        The conditioner phase runs the loop schedule, the final phase
+        the full schedule; pass counts match the iterate kernel's.
+      * ``"cholqr"`` -- the round-4 behavior: colnorm + CholQR2 with the
+        q-scaled ridge + tiny-ridge polish for BOTH orths (the full
+        structure is load-bearing: every lighter Cholesky chain measured
+        iso >= 1e-1 on the 3-decade worst-case spectrum).
+    Both engines zero dead columns exactly and contract sub-resolution
+    directions (the cholqr annihilation contract).
     """
     from tensornetworkforml_tpu.ops.svd import (
         _cholqr_eps,
@@ -385,27 +419,48 @@ def gramfree_split(
     if bmat.dtype not in (jnp.float32,):
         bmat = bmat.astype(jnp.float32)
     eps = _cholqr_eps(bmat.dtype, q_cols)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if precision == "highest"
+        else jax.lax.Precision.DEFAULT
+    )
+    dead_tol = 1e-6
+    ee = jnp.eye(q_cols, dtype=jnp.float32)
 
-    def orth(y):
-        # colnorm + double cholqr at the safe ridge (g unused at
-        # n_power=0), then ONE polish pass at a tiny ridge: after the
-        # ridged passes W = Q^T Q = I + O(eps) is superbly conditioned,
-        # and the polish removes the ridge's isometry bias (2.4e-4 ->
-        # ~1e-6 measured), which otherwise costs ~1e-4 of captured
-        # energy per split. Dead columns stay exactly zero through the
-        # triangular solve (their W diagonal is just the tiny ridge).
-        q = _cholqr_subspace(None, y[None], eps, 0)[0]
-        w = _dot(q, q, _DN_T)
+    def _polish(q):
         # W = I + O(eps) here, so Cholesky is stable at a FLOOR ridge --
         # 1e-6 only keeps exactly-dead columns (diag 0) factorable; a
-        # q-scaled ridge would reinstate the bias this pass removes
-        tiny = 1e-6 if w.dtype == jnp.float32 else 1e-14
-        c = jnp.linalg.cholesky(
-            w + tiny * jnp.eye(q_cols, dtype=w.dtype)
-        )
+        # q-scaled ridge would reinstate the isometry bias (2.4e-4 ->
+        # ~1e-6 measured) this pass removes.
+        w = _dot(q, q, _DN_T)
+        c = jnp.linalg.cholesky(w + 1e-6 * ee)
         return jax.lax.linalg.triangular_solve(
             c, q, left_side=False, lower=True, transpose_a=True
         )
+
+    if orth == "ns":
+        # one extra tail pass on the final schedule: at q = 512 the
+        # row-sum prescale overestimates sigma_max by up to sqrt(q) ~ 23
+        # (vs the ~16 the 1e-7 default was budgeted for at q <= 256), so
+        # the deepest kept directions of the SQUARED spectrum start near
+        # 4e-8 -- the l0 = 1e-8 schedule covers them
+        final_sched = _pe_schedule(1e-8, 1e-7)
+        loop_sched = _pe_schedule(*_PE_LOOP)
+
+        def orth_first(y):  # conditioner for the power iteration
+            return _polar_ns_greedy(_colnorm(y, dead_tol), loop_sched)
+
+        def orth_final(z):
+            return _polar_ns_greedy(_colnorm(z, dead_tol), final_sched)
+
+    elif orth == "cholqr":
+
+        def orth_first(y):  # round-4 behavior: CholQR2 + polish
+            return _polish(_cholqr_subspace(None, y[None], eps, 0)[0])
+
+        orth_final = orth_first
+    else:
+        raise ValueError(f"unknown orth {orth!r}")
 
     nc, tj, pad = _tile_j(I, J, max_bytes=2 ** 20)
     if pad:
@@ -418,7 +473,7 @@ def gramfree_split(
     # J-carrying kernels do pure accumulation (VMEM stack ~6 MB at
     # I=1024, q=512); see the docstring for why the orths are XLA.
     y0, n2 = pl.pallas_call(
-        _sketch_kernel,
+        functools.partial(_sketch_kernel, prec=prec),
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((I, tj), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -438,10 +493,10 @@ def gramfree_split(
     )(bmat, om)
 
     with jax.default_matmul_precision("float32"):
-        y1 = orth(y0 / jnp.sqrt(jnp.maximum(n2[0, 0], 1e-30)))
+        y1 = orth_first(y0 / jnp.sqrt(jnp.maximum(n2[0, 0], 1e-30)))
 
     z = pl.pallas_call(
-        _gmul_kernel,
+        functools.partial(_gmul_kernel, prec=prec),
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((I, tj), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -456,14 +511,17 @@ def gramfree_split(
 
     with jax.default_matmul_precision("float32"):
         # n2 division: overflow safety only (colnorm absorbs any scale)
-        q = orth(z / jnp.maximum(n2[0, 0], 1e-30))
+        q = orth_final(z / jnp.maximum(n2[0, 0], 1e-30))
 
     if q_cols < rank:
         q = jnp.concatenate(
             [q, jnp.zeros((I, rank - q_cols), dtype=q.dtype)], axis=1
         )
-    with jax.default_matmul_precision("float32"):
-        r = q.T @ bmat[:, :J] if pad else q.T @ bmat
+    bm = bmat[:, :J] if pad else bmat
+    r = jax.lax.dot_general(
+        q, bm, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
     return q.astype(out_dtype), r.astype(out_dtype)
 
 

@@ -51,6 +51,7 @@ def truncated_svd_split(
     method: str = "svd",
     keep=None,
     split_mode: str = "shared",
+    adaptive_tol: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Split ``bmat (I, J)`` into ``(I, rank) @ (rank, J)``.
 
@@ -71,8 +72,26 @@ def truncated_svd_split(
     static output shapes, used to reproduce the reference's evolving
     bond-rank rule (``Network_class.py:894-910``) inside a compiled scan.
 
+    ``adaptive_tol`` > 0 enables ADAPTIVE rank truncation: after the
+    fixed-``rank`` cut, trailing singular values are additionally zeroed
+    so that the retained spectral ENERGY (sum of squares) is the smallest
+    prefix >= ``1 - adaptive_tol`` of the rank-``rank`` energy -- i.e. the
+    cumulative-variance threshold the reference computed but never used
+    (dead code, ``Network_class.py:890-891``, docstring :870 "still to be
+    tested"), implemented with static shapes via the same masking as
+    ``keep``. Only the spectrum-producing methods (``svd``, ``cholsvd``)
+    support it. Mutually exclusive with ``keep``.
+
     ``rank`` must be <= min(I, J).
     """
+    if adaptive_tol > 0.0:
+        if keep is not None:
+            raise ValueError("adaptive_tol and keep are mutually exclusive")
+        if method not in ("svd", "cholsvd"):
+            raise ValueError(
+                "adaptive_tol requires a spectrum-producing split method "
+                "('svd' or 'cholsvd'), got " + repr(method)
+            )
     if method == "svd":
         U, S, Vh = jnp.linalg.svd(bmat, full_matrices=False)
         U = U[:, :rank]
@@ -80,9 +99,11 @@ def truncated_svd_split(
         Vh = Vh[:rank, :]
         if keep is not None:
             S = jnp.where(jnp.arange(rank) < keep, S, 0.0)
+        if adaptive_tol > 0.0:
+            S = S * _adaptive_energy_mask(S, adaptive_tol)
         S = jnp.maximum(S, 0.0)
         if split_mode == "canonical":
-            if keep is not None:
+            if keep is not None or adaptive_tol > 0.0:
                 # Zero U's columns past `keep` too: the left factor becomes a
                 # live site tensor, and un-zeroed columns would leak weight
                 # into bond slots beyond the reference truncation rank on
@@ -95,7 +116,7 @@ def truncated_svd_split(
     elif method == "gram":
         return _gram_split(bmat, rank, keep, split_mode)
     elif method == "cholsvd":
-        return _chol_svd_split(bmat, rank, keep, split_mode)
+        return _chol_svd_split(bmat, rank, keep, split_mode, adaptive_tol)
     elif method == "cholqr":
         if split_mode != "canonical":
             raise ValueError("cholqr split requires split_mode='canonical'")
@@ -176,6 +197,19 @@ def truncated_svd_split(
         return rangefinder_split_pallas(bmat, rank)
     else:
         raise ValueError(f"unknown SVD method {method!r}")
+
+
+def _adaptive_energy_mask(S: jnp.ndarray, adaptive_tol: float) -> jnp.ndarray:
+    """Static-shape mask keeping the smallest spectral prefix whose energy
+    is >= ``1 - adaptive_tol`` of the total (the reference's unused
+    cumulative-variance rule, ``Network_class.py:890-891``). Position i is
+    kept iff the energy BEFORE it is still below the threshold, so the
+    first index crossing the threshold is the last one kept. All-zero
+    spectra keep nothing (0 < threshold * 0 is False)."""
+    e = S.astype(jnp.float32) ** 2
+    total = jnp.sum(e)
+    prev = jnp.cumsum(e) - e  # energy strictly before each position
+    return (prev < (1.0 - adaptive_tol) * total).astype(S.dtype)
 
 
 def _pallas_split_applicable(bmat, keep, split_mode) -> bool:
@@ -432,7 +466,8 @@ def _cholqr_subspace(g, y, eps, n_power: int):
 
 
 def _chol_svd_split(
-    bmat: jnp.ndarray, rank: int, keep=None, split_mode: str = "shared"
+    bmat: jnp.ndarray, rank: int, keep=None, split_mode: str = "shared",
+    adaptive_tol: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Truncated split via SVD of the CHOLESKY factor of the Gram matrix.
 
@@ -469,9 +504,11 @@ def _chol_svd_split(
         S = S[:rank]
         if keep is not None:
             S = jnp.where(jnp.arange(rank) < keep, S, 0.0)
+        if adaptive_tol > 0.0:
+            S = S * _adaptive_energy_mask(S, adaptive_tol)
         if split_mode == "canonical":
             svh = U.T @ bmat
-            if keep is not None:
+            if keep is not None or adaptive_tol > 0.0:
                 mask = (S > 0).astype(bmat.dtype)
                 svh = svh * mask[:, None]
                 U = U * mask[None, :]  # no weight leak past the kept rank

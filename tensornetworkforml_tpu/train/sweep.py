@@ -58,6 +58,14 @@ class SweepConfig(NamedTuple):
         reference's evolving bond rule (``Network_class.py:894-910``) for
         bit-parity; the per-step caps are host-computed data (see
         ``train/rank_schedule.py``).
+      * ``"adaptive"``: per-bond LIVE rank by spectral energy -- trailing
+        singular directions beyond the smallest prefix holding
+        ``1 - adaptive_tol`` of the two-site energy are zeroed inside the
+        static-M padded representation (the reference's cumulative-
+        variance threshold, computed but never used --
+        ``Network_class.py:890-891``, ":870 still to be tested" -- made
+        real). Requires a spectrum-producing split (``svd``/``cholsvd``);
+        per-step live ranks are returned as ``metrics["live_rank"]``.
     """
 
     act_fn: str = "softmax"
@@ -66,6 +74,9 @@ class SweepConfig(NamedTuple):
     svd_method: str = "svd"
     debug: bool = False
     rank_mode: str = "fixed"
+    # energy tolerance for rank_mode="adaptive": keep the smallest
+    # spectral prefix with >= 1 - adaptive_tol of the two-site energy
+    adaptive_tol: float = 1e-4
     # "shared": sqrt(S) on both factors (reference semantics).
     # "canonical": isometric left factor, weight travels with the label core
     # (mixed-canonical gauge; required for large-N float32 stability).
@@ -179,11 +190,16 @@ def two_site_update(
 
     # analytic gradient: dB[a,i,o,j,c] = sum_b loss_der[o,b] *
     #   l_env[b,a] x1[b,i] x2[b,j] r_env[b,c]
+    # Folding loss_der into the RIGHT factor (w_t) makes the batch
+    # contraction a single dot whose natural output order is already
+    # (a,i,o,j,c) -- the previous (loss_der x left_part) association
+    # produced (o,a,i,j,c) and forced XLA to transpose the full-size
+    # deltaB (42 MB at M=512 L=10), pure HBM traffic.
     loss_der = loss_derivative(f_act, y_onehot, cfg.loss_fn, cfg.act_fn, T)
     left_part = jnp.einsum("ba,bi->bai", l_env, x1)  # (B,M,D)
     right_part = jnp.einsum("bj,bc->bjc", x2, r_env)  # (B,D,M)
-    u_t = jnp.einsum("ob,bai->boai", loss_der, left_part)
-    deltaB = jnp.einsum("boai,bjc->aiojc", u_t, right_part)
+    w_t = jnp.einsum("ob,bjc->bojc", loss_der, right_part)  # (B,L,D,M)
+    deltaB = jnp.einsum("bai,bojc->aiojc", left_part, w_t)
 
     # regularisation (exact L2 of the whole MPS, or plain decay)
     if cfg.L2_flag:
@@ -229,6 +245,17 @@ def two_site_update(
     if bmat.dtype == jnp.bfloat16:  # no bf16 SVD; split in f32
         bmat = bmat.astype(jnp.float32)
     keep = rank if cfg.rank_mode == "reference" else None
+    atol = 0.0
+    if cfg.rank_mode == "adaptive":
+        if cfg.svd_method not in ("svd", "cholsvd"):
+            raise ValueError(
+                "rank_mode='adaptive' needs a spectrum-producing split "
+                "(svd_method='svd' or 'cholsvd'), got "
+                f"{cfg.svd_method!r}"
+            )
+        if cfg.dist_split != "none":
+            raise ValueError("rank_mode='adaptive' requires dist_split='none'")
+        atol = cfg.adaptive_tol
     if cfg.dist_split != "none":
         # bond-distributed split: columns of the (I, L*D*M) two-site
         # matrix sharded over the mesh's model axis, Gram/sketch psum'd
@@ -254,7 +281,8 @@ def two_site_update(
         left_flat, right_flat = dist_fn(bmat, M, cfg.dist_mesh)
     else:
         left_flat, right_flat = truncated_svd_split(
-            bmat, M, cfg.svd_method, keep=keep, split_mode=cfg.split_mode
+            bmat, M, cfg.svd_method, keep=keep, split_mode=cfg.split_mode,
+            adaptive_tol=atol,
         )
     A_left = left_flat.reshape(M, D, M).astype(dtype)
     label_new = (
@@ -299,6 +327,13 @@ def two_site_update(
             "sum_abs_deltaB": zero, "mean_abs_f": zero,
             "L2_loss": zero, "sum_abs_L2_grad": zero,
         }
+    if cfg.rank_mode == "adaptive":
+        # per-bond live rank: rows of the right factor that survived the
+        # energy threshold (the adaptive observability the reference's
+        # dead code never delivered)
+        metrics["live_rank"] = jnp.sum(
+            (jnp.sum(right_flat * right_flat, axis=1) > 0).astype(dtype)
+        )
     return A_left, label_new, l_env_new, E2_new, f_new, metrics
 
 

@@ -176,6 +176,8 @@ def train_model(
     renorm_envs: bool = False,
     growth_cap: float = 0.0,
     matmul_precision: str = "default",
+    rank_mode: str = "fixed",
+    adaptive_tol: float = 1e-4,
     fused: bool = True,
     verbose: bool = True,
     epoch_callback: Optional[Callable] = None,
@@ -261,6 +263,8 @@ def train_model(
         renorm_envs=renorm_envs,
         growth_cap=growth_cap,
         matmul_precision=matmul_precision,
+        rank_mode=rank_mode,
+        adaptive_tol=adaptive_tol,
     )
     series = _DEBUG_SERIES if debug else _PLAIN_SERIES
     val_acc: list[float] = []

@@ -103,3 +103,31 @@ def test_replicate_stoudenmire_runner_synthetic_smoke(tmp_path, monkeypatch):
     ])
     assert rc == 0
     assert os.path.exists(tmp_path / "m120.npz")
+
+
+def test_training_mnist10_cli_checkpoint_resume(tmp_path, monkeypatch):
+    """Resume round-trip for the 10-class CLI (VERDICT r4 item 8): a run
+    interrupted after epoch 1 resumes into epoch 2 only, and the resumed
+    model trains on rather than restarting."""
+    monkeypatch.chdir(tmp_path)
+    from tensornetworkforml_tpu.cli.training_mnist import main as train_main
+
+    ck = str(tmp_path / "ck.npz")
+    common = [
+        "--synthetic", "--pool", "--M", "8", "--batch_size", "128",
+        "--seed", "0", "--restarts", "0", "--checkpoint", ck,
+        "--out", str(tmp_path / "m.npz"),
+    ]
+    val1, _ = train_main(common + ["--n_epochs", "1"])
+    assert len(val1) == 1 and os.path.exists(ck)
+
+    # resume: only the remaining epoch runs
+    val2, test_acc = train_main(common + ["--n_epochs", "2", "--resume"])
+    assert len(val2) == 1, "resume must skip the already-trained epoch"
+    # training continued from the epoch-1 model: epoch-2 validation does
+    # not collapse back to an untrained level
+    assert val2[-1] >= val1[-1] - 0.05
+
+    # a fully-complete checkpoint resumes to a no-op
+    val3, _ = train_main(common + ["--n_epochs", "2", "--resume"])
+    assert len(val3) == 0

@@ -189,3 +189,76 @@ def test_cifar_batch_roundtrip(tmp_path):
 
     a, y1, b, y2 = synthetic_cifar10(50, 10)
     assert a.shape == (50, 32, 32) and a.max() <= 1.0
+
+
+def test_mnist_verify_checksums(tmp_path):
+    """Checksum self-test (VERDICT r4 item 8): synthetic-but-canonical-
+    geometry files report shape-ok, wrong geometry reports mismatch,
+    absent files report missing; a pristine gz whose md5 matches the
+    published torchvision constant reports ok (validated here by writing
+    a file and checking against its OWN md5 via monkeypatch-free
+    comparison of the code path)."""
+    import hashlib
+
+    from tensornetworkforml_tpu.data import mnist as m
+
+    # all missing
+    assert set(m.verify_checksums(str(tmp_path)).values()) == {"missing"}
+
+    rng = np.random.default_rng(0)
+    _write_idx_images(
+        str(tmp_path / "train-images-idx3-ubyte"),
+        rng.integers(0, 256, (60000, 28, 28), dtype=np.uint8),
+    )
+    _write_idx_images(
+        str(tmp_path / "train-labels-idx1-ubyte"),
+        rng.integers(0, 10, (60000,), dtype=np.uint8),
+    )
+    _write_idx_images(  # wrong count -> mismatch
+        str(tmp_path / "t10k-images-idx3-ubyte"),
+        rng.integers(0, 256, (8, 28, 28), dtype=np.uint8),
+    )
+    out = m.verify_checksums(str(tmp_path))
+    assert out["train-images-idx3-ubyte"] == "shape-ok"
+    assert out["train-labels-idx1-ubyte"] == "shape-ok"
+    assert out["t10k-images-idx3-ubyte"] == "mismatch"
+    assert out["t10k-labels-idx1-ubyte"] == "missing"
+
+    # gz md5 path: write a gz labels file and point the expected-md5
+    # table at its actual hash -- proves the md5 branch returns "ok"
+    pz = tmp_path / "t10k-labels-idx1-ubyte.gz"
+    _write_idx_images(str(pz), rng.integers(0, 10, (10000,),
+                                            dtype=np.uint8), gz=True)
+    md5 = hashlib.md5(pz.read_bytes()).hexdigest()
+    orig = m.MNIST_GZ_MD5["t10k-labels-idx1-ubyte.gz"]
+    try:
+        m.MNIST_GZ_MD5["t10k-labels-idx1-ubyte.gz"] = md5
+        assert m.verify_checksums(str(tmp_path))[
+            "t10k-labels-idx1-ubyte"] == "ok"
+    finally:
+        m.MNIST_GZ_MD5["t10k-labels-idx1-ubyte.gz"] = orig
+    # with the real constant, the synthetic gz still passes structurally
+    assert m.verify_checksums(str(tmp_path))[
+        "t10k-labels-idx1-ubyte"] == "shape-ok"
+
+
+def test_cifar_verify_checksums(tmp_path):
+    from tensornetworkforml_tpu.data import cifar as c
+
+    out = c.verify_checksums(str(tmp_path))
+    assert out["archive"] == "missing"
+    assert out["data_batch_1.bin"] == "missing"
+
+    rng = np.random.default_rng(0)
+    rec = np.zeros((10000, 3073), dtype=np.uint8)
+    rec[:, 0] = rng.integers(0, 10, 10000)
+    rec[:, 1:] = rng.integers(0, 256, (10000, 3072))
+    d = tmp_path / "cifar-10-batches-bin"
+    d.mkdir()
+    rec.tofile(str(d / "data_batch_1.bin"))
+    bad = rec.copy()
+    bad[0, 0] = 99  # label out of range
+    bad.tofile(str(d / "test_batch.bin"))
+    out = c.verify_checksums(str(tmp_path))
+    assert out["data_batch_1.bin"] == "shape-ok"
+    assert out["test_batch.bin"] == "mismatch"
