@@ -183,14 +183,14 @@ def main():
     sweep_mod.truncated_svd_split = patched_split
 
     def time_sweep(name, method, N=196, M=512, L=10, B=256, reps=4,
-                   step_metrics=True):
+                   step_metrics=True, engine="xla"):
         if not want(name):
             return
         if SMOKE:
             N, M, B, reps = 12, 8, 16, 2
         cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
                           split_mode="canonical", svd_method=method,
-                          step_metrics=step_metrics)
+                          step_metrics=step_metrics, engine=engine)
         mps = mps_init(jax.random.PRNGKey(0), N=N, M=M, L=L,
                        act_fn="linear", loss_fn="MSE", dtype=jnp.float32)
         rng = np.random.default_rng(0)
@@ -230,6 +230,10 @@ def main():
     time_sweep("sweep_m128_polar", "polar", M=128, reps=8)
     time_sweep("sweep_m128_polar_nometrics", "polar", M=128, reps=8,
                step_metrics=False)
+    time_sweep("sweep_m128_hybrid", "polar", M=128, reps=8,
+               engine="hybrid")
+    time_sweep("sweep_m64_hybrid", "polar", M=64, reps=8, engine="hybrid")
+    time_sweep("sweep_m64_polar", "polar", M=64, reps=8)
 
     # ---- serving: XLA vs Pallas forward (VERDICT item 2) ----------------
     from tensornetworkforml_tpu.models.mps import product_init

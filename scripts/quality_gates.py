@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Quality gates for BASELINE configs 4-5 (VERDICT r4 item 7).
+
+The env has no real Fashion-MNIST/CIFAR files and no egress, so the
+gates run on the deterministic synthetic stand-ins (``data.mnist.
+synthetic_mnist`` 28x28 10-class for the Fashion-shaped config,
+``data.cifar.synthetic_cifar10`` 32x32 grayscale for the CIFAR-shaped
+config) -- the task SHAPES and training configs match BASELINE.json;
+real-data accuracy claims remain out of scope (ingestion is
+checksum-gated, data/mnist.py::verify_checksums).
+
+Per config: single-device training for quality + wall-clock (TPU when
+available), and a 2-epoch data-parallel run on the virtual 8-device CPU
+mesh for DP correctness of the exact config. Results:
+``results/fashion_gate.json`` / ``results/cifar_gate.json``.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_config(tag, make_data, N, M, pool, n_epochs, lr, out_path,
+               bond_schedule=None, B=256):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from tensornetworkforml_tpu.data.loader import prepare_dataset
+    from tensornetworkforml_tpu.data.mnist import max_pool_2x2
+    from tensornetworkforml_tpu.models.mps import product_init
+    from tensornetworkforml_tpu.train.trainer import (
+        evaluate_accuracy,
+        train_model,
+    )
+
+    tr_x, tr_y, te_x, te_y = make_data()
+    if pool:
+        tr_x, te_x = max_pool_2x2(tr_x), max_pool_2x2(te_x)
+    tr_x = tr_x.reshape(len(tr_x), -1) / max(1.0, tr_x.max())
+    te_x = te_x.reshape(len(te_x), -1) / max(1.0, te_x.max())
+    assert tr_x.shape[1] == N, (tr_x.shape, N)
+
+    data = np.concatenate([tr_x, te_x])
+    labels = np.concatenate([tr_y, te_y])
+    tl, vl, test_l = prepare_dataset(
+        data, labels, len(tr_x) / len(data), 0.1, B, 512, 512,
+        embed=False, seed=0, even_train_batches=True,
+    )
+    x_cal, _ = next(tl.batches())
+    mps = product_init(
+        jax.random.PRNGKey(0), N=N, M=(min(M, 32) if bond_schedule else M),
+        L=10, act_fn="linear", loss_fn="MSE", dtype=jnp.float32,
+        calibration_x=x_cal[:256],
+    )
+    t0 = time.perf_counter()
+    mps, val_acc, _ = train_model(
+        mps, tl, vl, lr=lr, n_epochs=n_epochs, weight_dec=1e-5,
+        L2_flag=False, split_mode="canonical", svd_method="polar"
+        if jax.default_backend() == "tpu" else "cholqr",
+        verbose=True, warmup_epochs=1 if B > 128 else 0,
+        bond_schedule=bond_schedule, restarts=0,
+    )
+    wall_s = time.perf_counter() - t0
+    test_acc = evaluate_accuracy(mps, test_l)
+    out = {
+        "config": dict(task=tag, N=N, M=M, L=10, B=B, n_epochs=n_epochs,
+                       lr=lr, bond_schedule=bond_schedule,
+                       recipe="product_init + canonical + linear/MSE "
+                              "+ warmup + no-L2"),
+        "backend": jax.default_backend(),
+        "data": "deterministic synthetic stand-in (no real files in env; "
+                "see data checksum self-tests)",
+        "val_acc": [round(float(v), 4) for v in val_acc],
+        "test_acc": round(float(test_acc), 4),
+        "wall_clock_s": round(wall_s, 1),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(tag, "-> test", out["test_acc"], f"({wall_s:.0f}s)", flush=True)
+    return out
+
+
+def dp_smoke(tag, make_data, N, M, pool, out_path):
+    """2-epoch DP run of the same config on the virtual CPU mesh, run in
+    a SUBPROCESS so the device count env var takes effect."""
+    code = f"""
+import os, sys, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=8"
+sys.path.insert(0, "/root/repo")
+import jax, numpy as np, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, "/root/repo/scripts")
+from quality_gates import _dp_body
+_dp_body({tag!r}, {N}, {M}, {pool}, {out_path!r})
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=2400)
+    print("dp_smoke", tag, "rc=", r.returncode,
+          (r.stdout + r.stderr).strip().splitlines()[-1:], flush=True)
+    return r.returncode
+
+
+def _dp_body(tag, N, M, pool, out_path):
+    import jax
+    import jax.numpy as jnp
+
+    from tensornetworkforml_tpu.data.loader import prepare_dataset
+    from tensornetworkforml_tpu.data.mnist import max_pool_2x2
+    from tensornetworkforml_tpu.models.mps import product_init
+    from tensornetworkforml_tpu.parallel.dp import ShardedTrainer
+    from tensornetworkforml_tpu.parallel.mesh import make_mesh
+    from tensornetworkforml_tpu.train.sweep import SweepConfig
+    from tensornetworkforml_tpu.train.trainer import evaluate_accuracy
+
+    tr_x, tr_y, te_x, te_y = _make_data_for(tag, small=True)
+    if pool:
+        tr_x, te_x = max_pool_2x2(tr_x), max_pool_2x2(te_x)
+    tr_x = tr_x.reshape(len(tr_x), -1) / max(1.0, tr_x.max())
+    te_x = te_x.reshape(len(te_x), -1) / max(1.0, te_x.max())
+    data = np.concatenate([tr_x, te_x])
+    labels = np.concatenate([tr_y, te_y])
+    tl, vl, _ = prepare_dataset(
+        data, labels, len(tr_x) / len(data), 0.1, 256, 256, 256,
+        embed=False, seed=0, even_train_batches=True,
+    )
+    x_cal, _ = next(tl.batches())
+    mps = product_init(jax.random.PRNGKey(0), N=N, M=M, L=10,
+                       act_fn="linear", loss_fn="MSE", dtype=jnp.float32,
+                       calibration_x=x_cal[:256])
+    mesh = make_mesh(shape=(8, 1))
+    cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
+                      split_mode="canonical", svd_method="cholqr")
+    trainer = ShardedTrainer(mesh, mps, lr=0.2, weight_dec=1e-5, cfg=cfg)
+    accs = []
+    for _ in range(2):
+        for x, y in tl.batches():
+            accs.append(trainer.step(x, y))
+    val = evaluate_accuracy(trainer.mps, vl)
+    rec = {"dp_devices": 8, "epochs": 2, "final_batch_acc": float(accs[-1]),
+           "val_acc": float(val)}
+    with open(out_path) as f:
+        merged = json.load(f)
+    merged["dp_virtual_mesh_smoke"] = rec
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print("dp", tag, rec)
+    assert val >= 0.5, "DP run failed to learn"
+
+
+import numpy as _np  # noqa: E402
+
+
+def _make_data_for(tag, small=False):
+    if tag == "fashion":
+        from tensornetworkforml_tpu.data.mnist import synthetic_mnist
+
+        n = (2000, 500) if small else (8000, 2000)
+        return synthetic_mnist(n[0], n[1], side=28, seed=3)
+    from tensornetworkforml_tpu.data.cifar import synthetic_cifar10
+
+    n = (2000, 500) if small else (8000, 2000)
+    a, y1, b, y2 = synthetic_cifar10(n[0], n[1], seed=4)
+    return a * 255.0, y1, b * 255.0, y2
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--skip-dp", action="store_true")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+
+    if only is None or "fashion" in only:
+        run_config(
+            "fashion", lambda: _make_data_for("fashion"),
+            N=196, M=128, pool=True, n_epochs=6, lr=0.2,
+            out_path="/root/repo/results/fashion_gate.json",
+        )
+        if not args.skip_dp:
+            dp_smoke("fashion", None, 196, 32, True,
+                     "/root/repo/results/fashion_gate.json")
+    if only is None or "cifar" in only:
+        run_config(
+            "cifar", lambda: _make_data_for("cifar"),
+            N=256, M=200, pool=True, n_epochs=6, lr=0.1,
+            out_path="/root/repo/results/cifar_gate.json",
+            bond_schedule={2: 100, 4: 200},
+        )
+        if not args.skip_dp:
+            dp_smoke("cifar", None, 256, 32, True,
+                     "/root/repo/results/cifar_gate.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,7 +133,7 @@ _PE_LOOP = (1e-3, 0.25)
 _PE_FINAL = (1e-7, 1e-7)
 
 
-def _polar_ns_greedy(y, coeffs):
+def _polar_ns_greedy(y, coeffs, md=jax.lax.Precision.HIGHEST):
     """Matmul-only polar orthonormalisation of ``y (I, q)`` with a
     per-pass coefficient schedule from ``_pe_schedule``.
 
@@ -157,7 +157,6 @@ def _polar_ns_greedy(y, coeffs):
     noise only to ~0.2.
     """
     eye = jnp.eye(y.shape[1], dtype=y.dtype)
-    md = jax.lax.Precision.HIGHEST
     w = _dot(y, y, _DN_T, md)
     rowsum = jnp.max(jnp.sum(jnp.abs(w), axis=1))  # >= sigma_max^2 (PSD)
     y = y / jnp.sqrt(jnp.maximum(rowsum, 1e-30))
@@ -345,7 +344,8 @@ def _gmul_kernel(b_ref, y1_ref, z_ref, *, prec):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rank", "interpret", "precision", "orth")
+    jax.jit,
+    static_argnames=("rank", "interpret", "precision", "orth", "ns_prec"),
 )
 def gramfree_split(
     bmat: jnp.ndarray,
@@ -353,6 +353,7 @@ def gramfree_split(
     interpret: bool = False,
     precision: str = "default",
     orth: str = "ns",
+    ns_prec: str = "highest",
 ):
     """LARGE-BOND canonical split (``ops/svd.py`` dispatches it for
     I > 512 on TPU, lifting the round-3 XLA-cholqr fallback): one-power-
@@ -446,12 +447,21 @@ def gramfree_split(
         # 4e-8 -- the l0 = 1e-8 schedule covers them
         final_sched = _pe_schedule(1e-8, 1e-7)
         loop_sched = _pe_schedule(*_PE_LOOP)
+        # ns_prec: MXU precision of the NS passes themselves. These run
+        # as XLA ops (unlike the Mosaic iterate kernel, which rejects
+        # HIGH), so the 3-pass "high" mode is available as a measured
+        # speed/accuracy trade; "highest" (6-pass) is the proven default.
+        md = (
+            jax.lax.Precision.HIGHEST
+            if ns_prec == "highest"
+            else jax.lax.Precision.HIGH
+        )
 
         def orth_first(y):  # conditioner for the power iteration
-            return _polar_ns_greedy(_colnorm(y, dead_tol), loop_sched)
+            return _polar_ns_greedy(_colnorm(y, dead_tol), loop_sched, md)
 
         def orth_final(z):
-            return _polar_ns_greedy(_colnorm(z, dead_tol), final_sched)
+            return _polar_ns_greedy(_colnorm(z, dead_tol), final_sched, md)
 
     elif orth == "cholqr":
 

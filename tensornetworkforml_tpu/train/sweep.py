@@ -108,6 +108,14 @@ class SweepConfig(NamedTuple):
     # split_mode="canonical", L2_flag=False, rank_mode="fixed",
     # update_mode="clip", float32; M*D <= 256 (see ops/svd.py's Mosaic
     # note).
+    # "hybrid": TWO Mosaic programs per step + one batched XLA matmul
+    # (ops/kernels/presplit_kernel.py): kernel A fuses merge, gradient,
+    # weight decay, clip, update, f recompute, and the split's sketch +
+    # Gram reductions; the existing polar_iterate_pallas kernel runs the
+    # serial subspace iteration; R = Q^T B_new lands DIRECTLY in the
+    # next step's label layout (free reshape, no transposes). Same
+    # constraint family as "fused"; L * I * DM * 12 bytes of VMEM block
+    # stacks bound it to M <= 128 at L = 10 (the flagship family).
     engine: str = "xla"
     # Bond-distributed splits (parallel/dist_split.py): "none" keeps the
     # single-program split above; "cholqr"/"polar" run EVERY split of the
@@ -442,6 +450,111 @@ def _sweep_right_arrays(
             [A_lefts, jnp.zeros((1, M, D, M), dtype=dtype)], axis=0
         )
         return new_sites, label_final, f0, f_final, metrics
+
+    if cfg.engine == "hybrid":
+        # pre-split kernel + iterate kernel + one batched R matmul
+        # (ops/kernels/presplit_kernel.py has the layout story)
+        from tensornetworkforml_tpu.ops.kernels.polar_split import (
+            polar_iterate_pallas,
+        )
+        from tensornetworkforml_tpu.ops.kernels.presplit_kernel import (
+            two_site_presplit_pallas,
+        )
+        from tensornetworkforml_tpu.ops.svd import _rangefinder_omega
+
+        if cfg.L2_flag or cfg.split_mode != "canonical" or (
+            cfg.rank_mode != "fixed" or cfg.update_mode != "clip"
+            or cfg.dist_split != "none"
+        ):
+            raise ValueError(
+                "engine='hybrid' requires split_mode='canonical', "
+                "L2_flag=False, rank_mode='fixed', update_mode='clip', "
+                "dist_split='none'"
+            )
+        if M * D > 256:
+            raise ValueError(
+                "engine='hybrid' single-block kernel requires M*D <= 256 "
+                "(VMEM block stacks); larger bonds use the streaming "
+                "gramfree split on the xla engine"
+            )
+        interp = jax.default_backend() != "tpu"
+        f32 = jnp.float32
+        om = _rangefinder_omega(L * D * M, M, f32).reshape(L, D * M, M)
+        y1h32 = y_onehot.astype(f32)
+        lr32 = lr.astype(f32)
+        wd32 = weight_dec.astype(f32)
+        # (a,i,o,k) -> (o, (a,i), k): the kernel-carry layout
+        lab0 = (
+            label_site.astype(f32)
+            .transpose(2, 0, 1, 3)
+            .reshape(L, M * D, M)
+        )
+
+        def hstep(carry, x):
+            lab, l_env, f = carry
+            x1, x2, a2m, r_env = x
+            bnew, y0, g, f_new, left_part, stats = two_site_presplit_pallas(
+                lab, a2m, x1, x2, l_env, r_env, y1h32, f, om, lr32, wd32,
+                act_fn=cfg.act_fn, loss_fn=cfg.loss_fn, T=T,
+                with_gram=True, interpret=interp,
+            )
+            qf = polar_iterate_pallas(
+                y0, g, stats[0, 2].reshape(1, 1), interpret=interp
+            )
+            # R per label block -> EXACTLY the next step's carry layout
+            r = jnp.einsum("rm,Lrs->Lms", qf, bnew)
+            if cfg.growth_cap > 0:
+                cap = (1.0 + cfg.growth_cap) * stats[0, 0]
+                gamma = jnp.where(
+                    stats[0, 3] > cap,
+                    cap / jnp.maximum(stats[0, 3], 1e-30), 1.0,
+                )
+                r = r * gamma
+                f_new = f_new * gamma
+            l_env_new = left_part @ qf
+            a_left = qf
+            if cfg.renorm_envs:
+                gn = 1.0 / jnp.maximum(
+                    jnp.mean(jnp.linalg.norm(l_env_new, axis=1)), 1e-30
+                )
+                a_left = a_left * gn
+                l_env_new = l_env_new * gn
+                r = r / gn
+            lab_new = r.reshape(L, M * D, M)  # free view, see kernel doc
+            metrics = {
+                "accuracy": stats[0, 4].astype(dtype),
+                "MAE": stats[0, 5].astype(dtype),
+                "sum_abs_B": stats[0, 0].astype(dtype),
+                "sum_abs_deltaB": stats[0, 1].astype(dtype),
+                "mean_abs_f": stats[0, 6].astype(dtype),
+                "L2_loss": jnp.zeros((), dtype=dtype),
+                "sum_abs_L2_grad": jnp.zeros((), dtype=dtype),
+            }
+            return (lab_new, l_env_new, f_new), (
+                a_left.reshape(M, D, M).astype(dtype), metrics
+            )
+
+        hinit = (
+            lab0,
+            jnp.broadcast_to(e0, (B_sz, M)).astype(f32),
+            f0.astype(f32),
+        )
+        hxs = (
+            phi_t[:-1].astype(f32),
+            phi_t[1:].astype(f32),
+            sites[1:].astype(f32).reshape(N - 1, M, D * M),
+            r_envs[2:].astype(f32),
+        )
+        (lab_fin, _, f_final), (A_lefts, metrics) = jax.lax.scan(
+            hstep, hinit, hxs
+        )
+        label_final = (
+            lab_fin.reshape(L, M, D, M).transpose(1, 2, 0, 3).astype(dtype)
+        )
+        new_sites = jnp.concatenate(
+            [A_lefts, jnp.zeros((1, M, D, M), dtype=dtype)], axis=0
+        )
+        return new_sites, label_final, f0, f_final.astype(dtype), metrics
 
     xs = (
         phi_t[:-1],  # x1s  (N-1,B,D)
