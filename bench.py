@@ -280,6 +280,11 @@ def _run(args):
                 ("high_m_rangefinder", "rangefinder", 128, 8),
                 ("high_m_cholqr", "cholqr", 128, 8),
                 ("high_m_polar", "polar", 128, 8),
+                # round-5 flagship: pre-split + iterate Mosaic kernels,
+                # one batched R matmul per step (engine='hybrid',
+                # ops/kernels/presplit_kernel.py) -- measured 60.3
+                # us/step vs 80.5 XLA polar (results/hybrid_engine_tpu)
+                ("high_m_hybrid", "polar:hybrid", 128, 8),
                 # M=256 stretch (BASELINE CIFAR family): polar dispatches
                 # to the two-stage Pallas split (round 3) -- 1.5x cholqr
                 ("stretch_m256_polar", "polar", 256, 4),
@@ -363,8 +368,12 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
         _sweep_jit,
     )
 
+    engine = "xla"
+    if ":" in method:
+        method, engine = method.split(":")
     cfg = SweepConfig(act_fn="linear", loss_fn="MSE", L2_flag=False,
-                      split_mode="canonical", svd_method=method)
+                      split_mode="canonical", svd_method=method,
+                      engine=engine)
     mps = mps_init(jax.random.PRNGKey(0), N=N, M=M, L=L, act_fn="linear",
                    loss_fn="MSE", dtype=dtype)
     rng = np.random.default_rng(0)
@@ -397,7 +406,8 @@ def _high_m_point(jax, jnp, dtype, N=196, M=128, L=10, B=256, reps=8,
     flops = analytic_sweep_flops(N=N, M=M, D=2, L=L, B=B, l2=False)
     point = {
         "config": f"N={N} M={M} L={L} B={B} canonical two-site sweep"
-                  f" ({method} split)",
+                  f" ({method} split"
+                  + (f", {engine} engine)" if engine != "xla" else ")"),
         "sweep_ms": round(sweep_s * 1e3, 2),
         "step_us": round(sweep_s / (N - 1) * 1e6, 1),
         "sweep_gflops_analytic": round(flops / 1e9, 2),
