@@ -181,10 +181,14 @@ def main():
     only = set(args.only.split(",")) if args.only else None
 
     if only is None or "fashion" in only:
+        # lr=0.2 cold-started at the full M=128 diverges (train acc 0.40
+        # -> 0.17 by epoch 2, measured); the large-M recipe is the same
+        # one the cifar config uses -- grow the bond into the task
         run_config(
             "fashion", lambda: _make_data_for("fashion"),
-            N=196, M=128, pool=True, n_epochs=6, lr=0.2,
+            N=196, M=128, pool=True, n_epochs=6, lr=0.1,
             out_path="/root/repo/results/fashion_gate.json",
+            bond_schedule={2: 64, 4: 128},
         )
         if not args.skip_dp:
             dp_smoke("fashion", None, 196, 32, True,
