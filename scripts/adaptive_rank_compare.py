@@ -3,9 +3,8 @@
 item 5: the comparison the reference's dead code never ran,
 ``Network_class.py:870-891``).
 
-Three ways to manage bond capacity on the same 10-class 28x28 task
-(synthetic stand-in, N=196 pooled to 14x14=196? no -- full 196 after
-2x2 pooling of 28x28), same recipe otherwise:
+Three ways to manage bond capacity on the same 10-class task (synthetic
+28x28 stand-in, 2x2-pooled to 14x14 = N=196), same recipe otherwise:
 
   fixed      -- M=64 from epoch 0
   schedule   -- grow 32 -> 64 at epoch 2 (``bond_schedule``)
@@ -51,11 +50,22 @@ def main():
     labels = np.concatenate([tr_y, te_y])
     N, L, B, M, n_epochs = tr_x.shape[1], 10, 256, 64, 6
 
-    svd = "svd" if jax.default_backend() != "tpu" else "polar"
+    on_tpu = jax.default_backend() == "tpu"
     results = {"task": f"10-class synthetic 28x28 pooled, N={N}, B={B}",
-               "recipe": f"product_init + canonical + {svd} + lr 0.1",
+               "recipe": "product_init + canonical + lr 0.1; split = "
+                         "fastest available per mode (adaptive needs a "
+                         "spectrum: cholsvd; fixed/schedule: polar)",
                "points": {}}
-    for mode in ("fixed", "schedule", "adaptive"):
+    import sys as _sys
+
+    modes = (_sys.argv[1].split(",") if len(_sys.argv) > 1
+             else ("fixed", "schedule", "adaptive", "adaptive_tol1e-6"))
+    for mode in modes:
+        tol = 1e-6 if mode.endswith("1e-6") else 1e-4
+        if mode.startswith("adaptive"):
+            svd = "cholsvd" if on_tpu else "svd"
+        else:
+            svd = "polar" if on_tpu else "svd"
         tl, vl, test_l = prepare_dataset(
             data, labels, len(tr_x) / len(data), 0.1, B, 512, 512,
             embed=False, seed=0, even_train_batches=True,
@@ -69,8 +79,8 @@ def main():
         mps, val_acc, var_hist = train_model(
             mps, tl, vl, lr=0.1, n_epochs=n_epochs, weight_dec=1e-5,
             L2_flag=False, split_mode="canonical", svd_method=svd,
-            rank_mode="adaptive" if mode == "adaptive" else "fixed",
-            adaptive_tol=1e-4, verbose=True,
+            rank_mode="adaptive" if mode.startswith("adaptive") else "fixed",
+            adaptive_tol=tol, verbose=True,
             bond_schedule={2: M} if mode == "schedule" else None,
             restarts=0,
         )
@@ -82,7 +92,7 @@ def main():
             "test_acc": round(float(test), 4),
             "wall_clock_s": round(wall, 1),
         }
-        if mode == "adaptive":
+        if mode.startswith("adaptive"):
             # one extra metric sweep to read the converged live ranks
             from tensornetworkforml_tpu.ops.embedding import psi_embed
             from tensornetworkforml_tpu.train.sweep import (
@@ -92,7 +102,7 @@ def main():
             cfg = SweepConfig(act_fn="linear", loss_fn="MSE",
                               L2_flag=False, split_mode="canonical",
                               svd_method=svd, rank_mode="adaptive",
-                              adaptive_tol=1e-4)
+                              adaptive_tol=tol)
             x_b, y_b = next(tl.batches())
             phi = psi_embed(jnp.asarray(x_b, jnp.float32))
             y1h = jnp.asarray(np.eye(L, dtype=np.float32)[y_b].T)
@@ -111,7 +121,12 @@ def main():
                      if k != "live_rank_per_bond"}, flush=True)
 
     results["backend"] = jax.default_backend()
-    with open("/root/repo/results/adaptive_rank_compare.json", "w") as f:
+    out_p = "/root/repo/results/adaptive_rank_compare.json"
+    if os.path.exists(out_p):  # merge partial (subset) runs
+        old = json.load(open(out_p))
+        old.get("points", {}).update(results["points"])
+        results["points"] = old.get("points", results["points"])
+    with open(out_p, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps({m: results["points"][m]["test_acc"]
                       for m in results["points"]}), flush=True)

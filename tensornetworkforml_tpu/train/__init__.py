@@ -5,6 +5,9 @@ from tensornetworkforml_tpu.train.sweep import (
     two_site_update,
 )
 from tensornetworkforml_tpu.train.epoch import fused_epoch
+from tensornetworkforml_tpu.train.factored_step import (
+    two_site_update_factored,
+)
 from tensornetworkforml_tpu.train.trainer import (
     Trainer,
     evaluate_accuracy,
@@ -32,6 +35,7 @@ __all__ = [
     "train_batch",
     "two_site_update",
     "fused_epoch",
+    "two_site_update_factored",
     "Trainer",
     "evaluate_accuracy",
     "train_model",

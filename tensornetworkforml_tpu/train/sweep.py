@@ -134,6 +134,14 @@ class SweepConfig(NamedTuple):
     # consume the pre-sweep batch accuracy). Metrics come back as zeros
     # of the right shape so every caller's bookkeeping still works.
     step_metrics: bool = True
+    # Large-bond step restructure (train/factored_step.py): compute the
+    # whole update and split from the FACTORED form of B_new (merge
+    # product + batch outer product) so the (I, L*D*M) two-site tensor is
+    # never materialised -- the measured HBM wall at M=512. "auto" uses
+    # it exactly when the semantics match (canonical + polar + fixed rank
+    # + no L2 + no dist_split) and M*D > 512; "on" forces it for any
+    # supported config; "off" keeps the materialising path everywhere.
+    factored_update: str = "auto"
 
 
 def _mirror_sites(sites: jnp.ndarray) -> jnp.ndarray:
@@ -181,6 +189,28 @@ def two_site_update(
     """
     M, D, L, _ = label_site.shape
     dtype = label_site.dtype
+
+    from tensornetworkforml_tpu.train.factored_step import (
+        factored_supported,
+        two_site_update_factored,
+    )
+
+    if cfg.factored_update == "on" and not factored_supported(cfg, M, D):
+        raise ValueError(
+            "factored_update='on' requires split_mode='canonical', "
+            "svd_method='polar', L2_flag=False, rank_mode='fixed', "
+            "dist_split='none'"
+        )
+    if cfg.factored_update != "off" and factored_supported(cfg, M, D) and (
+        cfg.factored_update == "on" or M * D > 512
+    ):
+        A_left, label_new, l_env_new, f_new, metrics = (
+            two_site_update_factored(
+                label_site, A2, x1, x2, l_env, r_env, y_onehot, f,
+                lr, weight_dec, T, cfg,
+            )
+        )
+        return A_left, label_new, l_env_new, E2, f_new, metrics
 
     # merge the active pair: B[a,i,o,j,c] (left,d1,label,d2,right)
     B_t = jnp.einsum("aiok,kjc->aiojc", label_site, A2)
