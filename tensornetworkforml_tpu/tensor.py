@@ -60,7 +60,7 @@ class Tensor:
             self.elem = jnp.asarray(elem)
         else:
             raise ValueError(
-                "You have to provide either the elements of the tensor or its shape"
+                "Tensor needs either explicit elements or a shape to random-init"
             )
 
         self.aggregations: dict = {}
@@ -118,7 +118,7 @@ class Tensor:
         (reference ``Tensor_class.py:97-159``).
         """
         if new_ax_name is None:
-            raise ValueError("You have to provide the name of the new axes")
+            raise ValueError("aggregate requires new_ax_name for the merged axis")
         if self.axes_names is None:
             raise ValueError("This function requires named axes")
         if axes_names is None:
