@@ -144,7 +144,10 @@ def main():
         "f_new": (seg_fnew, (Lmat, w_t, rp_full, f)),
     }
 
-    reps = 2 if SMOKE else 20
+    # reps must swamp the ~30-40 ms tunnel dispatch round trip: at
+    # reps=20 every segment measured ~1536 us (= RTT/20) regardless of
+    # its compute -- 200+ puts the floor at ~150 us
+    reps = 2 if SMOKE else int(os.environ.get("TNML_SEG_REPS", 200))
     out = {"shape": f"N={N} M={M} L={L} B={B} I={I}", "reps": reps}
     for name, (fn, args) in segs.items():
         @jax.jit

@@ -54,22 +54,49 @@ from tensornetworkforml_tpu.ops.kernels.polar_split import (
 )
 from tensornetworkforml_tpu.ops.svd import _rangefinder_omega
 
+# Shortened greedy Polar-Express schedules for the LARGE-bond factored
+# path: loop (3e-3, 0.3) = 4 passes and final (1e-6, 1e-7) = 12 passes
+# vs the hybrid kernel's 5 + 14. Measured on the I=1024/q=512 gapped
+# harness (results/iterate_variants.json 'aligned_high_short'): 551.8
+# us vs 625.6, live-column isometry 1.05e-4, capture loss 7.6e-6. At
+# SMALL q the colnormed iterate's spread is wider (less averaging over
+# random directions) and l0 = 1e-6 measurably under-converges (bulk
+# isometry 0.27 at q = 8) -- the standard (1e-3, 0.25)/(1e-7, 1e-7)
+# pair stays in force below q = 512.
+_PE_LOOP_F = (3e-3, 0.3)
+_PE_FINAL_F = (1e-6, 1e-7)
 
-def _iterate_xla(y0, g, n2, dead_tol, n_power: int = 1):
-    """The exact iteration of ``polar_iterate_pallas``/``_iterate_kernel``
+
+def _iterate_xla(y0, g, n2, dead_tol, n_power: int = 1,
+                 md=jax.lax.Precision.HIGHEST):
+    """The iteration of ``polar_iterate_pallas``/``_iterate_kernel``
     (colnorm -> loop-NS -> G-multiply, then colnorm -> final-NS), as XLA
     ops: at I = 1024 the Mosaic form hits the VMEM-stack wall (round-4
-    finding) but the handful of (I, q) matmuls cost ~2% of the step here.
-    Matching the op-for-op order keeps the factored path's captured
-    subspace numerically aligned with ``hybrid_polar_split``'s."""
+    finding). Same op order as ``hybrid_polar_split`` (every stage is
+    span-preserving, so the captured subspace matches); the pass
+    schedules are the shortened ``_PE_*_F`` pair above.
+
+    ``md`` sets the matmul precision of every NS dot and the power
+    multiply. HIGHEST (6-pass bf16) is the hybrid-aligned default;
+    HIGH (3-pass) measured BETTER live-column isometry (3.8e-5 vs
+    3.2e-2 -- at HIGHEST the near-dead tail directions converge to
+    unit-norm junk that HIGH's extra noise keeps contracted) at 0.58x
+    the time on the I=1024/q=512 gapped harness, capture within 1e-5
+    of exact (results/iterate_variants.json)."""
+    big = y0.shape[1] >= 512
+    loop_s = _pe_schedule(*(_PE_LOOP_F if big else _PE_LOOP))
+    final_s = _pe_schedule(*(_PE_FINAL_F if big else _PE_FINAL))
     g = g / jnp.maximum(n2, 1e-30)
     y = y0
     for _ in range(n_power):
         y = _colnorm(y, dead_tol)
-        y = _polar_ns_greedy(y, _pe_schedule(*_PE_LOOP))
-        y = g @ y
+        y = _polar_ns_greedy(y, loop_s, md)
+        y = jax.lax.dot_general(
+            g, y, (((1,), (0,)), ((), ())),
+            preferred_element_type=y.dtype, precision=md,
+        )
     y = _colnorm(y, dead_tol)
-    return _polar_ns_greedy(y, _pe_schedule(*_PE_FINAL))
+    return _polar_ns_greedy(y, final_s, md)
 
 
 def factored_supported(cfg, M: int, D: int) -> bool:
@@ -174,6 +201,13 @@ def two_site_update_factored(
     n2_new = jnp.trace(gram)
 
     # ---- sketch Y0 = B_new @ Om, factored -------------------------------
+    # A Y0 = G @ Omega_I gram sketch (1 GF vs this 14 GF chain) was
+    # built and measured -- REJECTED: forming the f32 Gram squares the
+    # spectrum against machine eps, so kept directions below ~sqrt(eps)
+    # are corrupted at ENTRY and no amount of subsequent iteration
+    # recovers them (capture loss 2.5e-4 vs this chain's ~3e-7 on the
+    # gapped harness, results/iterate_variants.json). The sigma^1
+    # sketch below keeps deep directions 1e3 x above the noise floor.
     q_cols = min(M, I)
     om = _rangefinder_omega(L * Jp, q_cols, f32).astype(dtype).reshape(
         L, Jp, q_cols
@@ -183,13 +217,18 @@ def two_site_update_factored(
     wom = jnp.einsum("boj,ojm->bm", w_t, om)
     y0 = c_t * y_t + c_g * (Lmat.T @ wom)
 
-    # iteration dtype: f32 floor (bf16 NS diverges), f64 honored
+    # iteration dtype: f32 floor (bf16 NS diverges), f64 honored.
+    # Precision: HIGH (3-pass bf16) -- measured 0.58x the HIGHEST time
+    # with BETTER live-column isometry and capture within measurement
+    # noise of exact (results/iterate_variants.json 'aligned_high').
     it_dt = jnp.float64 if dtype == jnp.float64 else f32
     dead_tol = 1e-6 if it_dt != jnp.float64 else 1e-12
+    md = (jax.lax.Precision.HIGHEST if it_dt == jnp.float64
+          else jax.lax.Precision.HIGH)
     with jax.default_matmul_precision("float32"):
         q = _iterate_xla(
             y0.astype(it_dt), gram.astype(it_dt), n2_new.astype(it_dt),
-            dead_tol,
+            dead_tol, md=md,
         ).astype(dtype)
     if q_cols < M:
         q = jnp.concatenate(

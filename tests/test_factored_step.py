@@ -150,9 +150,9 @@ def test_factored_matches_explicit_oracle_f64():
     s_B, s_dB = jnp.sum(jnp.abs(B_t)), jnp.sum(jnp.abs(delta))
     gamma = jnp.where(s_dB > s_B, s_B / s_dB, 1.0)
     Bn = (B_t + lr * gamma * delta).reshape(I, L * Jp)
+    G = Bn @ Bn.T
     om = _rangefinder_omega(L * Jp, M, jnp.float32).astype(dtype)
     y0 = Bn @ om
-    G = Bn @ Bn.T
     q = _iterate_xla(y0, G, jnp.trace(G), 1e-12)
     r = q.T @ Bn
     pair_o = (q @ r).reshape(M, D, L, D, M)  # (a, d1, o, d2, c)
@@ -212,6 +212,30 @@ def test_factored_left_factor_is_isometric_and_padding_survives():
                                    np.eye(live.sum()), atol=1e-4)
     # boundary padding: site 0's left bond stays the closed boundary row
     np.testing.assert_array_equal(sites[0][1:, :, :], 0.0)
+
+
+def test_sketch_iterate_capture_on_gapped_spectrum():
+    """The production sketch+iterate chain (sigma^1 sketch Y0 = B Om,
+    full loop->power->final iterate) must capture the kept subspace of
+    a realistically gapped two-site matrix: >= 1 - 1e-5 of the exact
+    top-q energy across a 3-decade kept spectrum with a 0.06 gap (the
+    measured training-gap floor, scripts/profile_m512.py). A gram
+    sketch Y0 = G Om was measured 2.5e-4 WORSE here (f32 Gram noise
+    corrupts deep directions at entry) and rejected --
+    results/iterate_variants.json."""
+    rng = np.random.default_rng(0)
+    I, J, q = 128, 640, 64
+    u, _ = np.linalg.qr(rng.standard_normal((I, I)))
+    v, _ = np.linalg.qr(rng.standard_normal((J, I)))
+    s = np.zeros(I)
+    s[:q] = np.logspace(0, -3, q)
+    s[q:] = 0.06 * s[q - 1] * np.logspace(0, -2, I - q)
+    b = jnp.asarray((u * s) @ v.T, dtype=jnp.float32)
+    G = b @ b.T
+    om = _rangefinder_omega(J, q, jnp.float32)
+    Q = _iterate_xla(b @ om, G, jnp.trace(G), 1e-6)
+    cap = float(jnp.sum((Q.T @ b) ** 2)) / float(np.sum(s[:q] ** 2))
+    assert cap >= 1 - 1e-5, cap
 
 
 def test_factored_on_rejects_unsupported_config():
