@@ -288,12 +288,12 @@ def _run(args):
                 # M=256 stretch (BASELINE CIFAR family): polar dispatches
                 # to the two-stage Pallas split (round 3) -- 1.5x cholqr
                 ("stretch_m256_polar", "polar", 256, 4),
-                # M=512 stretch (round 4): polar dispatches to the
-                # GRAM-FREE split (no (I, I) Gram; Pallas J-tiled
-                # reductions + XLA cholqr orth) -- the standalone split
-                # is 3.9 ms at I=1024 where the jitted XLA cholqr path
-                # needs the explicit 4 MB Gram; the sweep at this width
-                # is HBM-bound on its 84 MB two-site intermediates
+                # M=512 stretch (round 5): factored_update="auto"
+                # reroutes M*D > 512 to the factored step
+                # (train/factored_step.py) -- B_new never materialised,
+                # HIGH-precision shortened-schedule iterate; measured
+                # 249.5 ms/sweep (9.0% analytic MFU) vs the round-4
+                # gram-free 616 ms (results/factored_m512_tpu.json)
                 ("stretch_m512_polar", "polar", 512, 4)):
             try:
                 result[key] = _high_m_point(
