@@ -42,6 +42,13 @@ def main():
     ap.add_argument("--init", choices=["probe", "cold"], default="probe")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--ft_lr", type=float, default=None,
+                    help="two-site finetune lr (default 0.3/N)")
+    ap.add_argument("--finetune", type=int, default=0,
+                    help="two-site DMRG epochs from the Adam-trained "
+                         "model (greedy sweeps fail from product init "
+                         "on pm0; from a gradient-trained init they "
+                         "get a non-trivial basin to refine)")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -127,6 +134,38 @@ def main():
 
     final_test = hist[-1]["test"]
     best_test = max(h["test"] for h in hist)
+
+    ft = None
+    if args.finetune > 0:
+        from tensornetworkforml_tpu.data.loader import prepare_dataset
+        from tensornetworkforml_tpu.train.trainer import (
+            evaluate_accuracy,
+            train_model,
+        )
+
+        data = np.concatenate([tr_x, te_x])
+        labels = np.concatenate([tr_y, te_y])
+        tl, vl, test_l = prepare_dataset(
+            data, labels, len(tr_x) / len(data), 0.05, 256, 256, 256,
+            embed=False, seed=1, even_train_batches=True,
+        )
+        # the Adam phase optimised softmax-CE logits; fine-tune with the
+        # matching activation/loss (T=1: plain softmax over the logits)
+        m_ft = mps.replace(sites=params["sites"],
+                           label_site=params["label"],
+                           act_fn="softmax", loss_fn="cross_entropy",
+                           T=1.0)
+        m_ft, val_acc, _ = train_model(
+            m_ft, tl, vl, lr=(args.ft_lr or 0.3 / N),
+            n_epochs=args.finetune, weight_dec=1e-5, L2_flag=False,
+            split_mode="canonical", svd_method="cholqr",
+            renorm_envs=True, verbose=True, restarts=0,
+        )
+        ft_test = float(evaluate_accuracy(m_ft, test_l))
+        ft = {"epochs": args.finetune,
+              "val_acc": [round(float(v), 4) for v in val_acc],
+              "test": round(ft_test, 4)}
+        print("finetune twosite ->", ft, flush=True)
     out = {
         "task": f"teacher pm0 N={N} teacher_m={args.teacher_m} "
                 f"margin={args.margin} L={L}",
@@ -137,6 +176,8 @@ def main():
         "final_test": final_test, "best_test": best_test,
         "wall_s": round(wall, 1), "history": hist,
     }
+    if ft is not None:
+        out["finetune_twosite"] = ft
     path = args.out or f"/root/repo/results/teacher_autodiff_N{N}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
