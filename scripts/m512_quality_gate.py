@@ -20,16 +20,44 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import quality_gates  # noqa: E402
 from quality_gates import _make_data_for, run_config  # noqa: E402
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factored", default="auto",
+                    choices=["auto", "on", "off"])
+    ap.add_argument("--out", default=
+                    "/root/repo/results/m512_quality_gate.json")
+    args = ap.parse_args()
+
+    # thread the engine switch through run_config's train_model call
+    import tensornetworkforml_tpu.train.trainer as _tr
+
+    _orig = _tr.train_model
+
+    def _tm(*a, **kw):
+        kw.setdefault("factored_update", args.factored)
+        return _orig(*a, **kw)
+
+    quality_gates.train_model = _tm
+    _tr.train_model = _tm
+
     out = run_config(
         "fashion-m512", lambda: _make_data_for("fashion"),
         N=196, M=512, pool=True, n_epochs=6, lr=0.1,
-        out_path="/root/repo/results/m512_quality_gate.json",
+        out_path=args.out,
         bond_schedule={2: 128, 4: 512},
     )
+    out["factored_update"] = args.factored
+    with open(args.out) as f:
+        rec = __import__("json").load(f)
+    rec["factored_update"] = args.factored
+    with open(args.out, "w") as f:
+        __import__("json").dump(rec, f, indent=1)
     assert out["test_acc"] >= 0.97, out
     print("M=512 quality gate PASSED", flush=True)
 

@@ -191,6 +191,7 @@ def train_model(
     stall_patience: int = 2,
     stall_min_delta: float = 0.005,
     stall_threshold: float = 0.95,
+    factored_update: str = "auto",
 ):
     """Train an MPS; returns ``(mps, val_acc, var_hist)``.
 
@@ -265,6 +266,7 @@ def train_model(
         matmul_precision=matmul_precision,
         rank_mode=rank_mode,
         adaptive_tol=adaptive_tol,
+        factored_update=factored_update,
     )
     series = _DEBUG_SERIES if debug else _PLAIN_SERIES
     val_acc: list[float] = []
