@@ -22,6 +22,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--precision", default="float32")
     ap.add_argument("--factored", default="auto")
+    ap.add_argument("--fused", type=int, default=1,
+                    help="0 disables the fused whole-epoch program "
+                         "(isolates train/epoch.py from the collapse)")
+    ap.add_argument("--epochs", type=int, default=6)
     ap.add_argument("--out",
                     default="/root/repo/results/m512_quality_gate_f32.json")
     args = ap.parse_args()
@@ -33,6 +37,8 @@ def main():
     def _tm(*a, **kw):
         kw.setdefault("matmul_precision", args.precision)
         kw.setdefault("factored_update", args.factored)
+        kw.setdefault("fused", bool(args.fused))
+        kw["n_epochs"] = args.epochs
         return _orig(*a, **kw)
 
     quality_gates.train_model = _tm

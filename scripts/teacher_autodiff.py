@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--wd", type=float, default=0.0,
                     help="adamw decoupled weight decay")
     ap.add_argument("--init", choices=["probe", "cold"], default="probe")
+    ap.add_argument("--precision", default="default",
+                    help="jax matmul precision for train/eval steps "
+                         "(e.g. float32 to rule out bf16 MXU noise as "
+                         "the optimization ceiling)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--ft_lr", type=float, default=None,
@@ -103,14 +107,18 @@ def main():
 
     @jax.jit
     def step(p, s, phi, y):
-        (l, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(p, phi, y)
+        with jax.default_matmul_precision(args.precision):
+            (l, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, phi, y
+            )
         updates, s = opt.update(g, s)
         return optax.apply_updates(p, updates), s, l, acc
 
     @jax.jit
     def eval_acc(p, phi, y):
         m = mps.replace(sites=p["sites"], label_site=p["label"])
-        f = mps_forward(m, phi)
+        with jax.default_matmul_precision(args.precision):
+            f = mps_forward(m, phi)
         return jnp.mean(jnp.argmax(f, 0) == y)
 
     y_te = jnp.asarray(te_y)
