@@ -7,6 +7,13 @@ from tensornetworkforml_tpu.models.mps import (
     loss_derivative,
     accuracy_from_scores,
 )
+from tensornetworkforml_tpu.models.ensemble import (
+    EnsembleMPS,
+    ensemble_accuracy,
+    ensemble_forward,
+    ensemble_init,
+    to_direct_sum,
+)
 from tensornetworkforml_tpu.models.serving import Predictor
 from tensornetworkforml_tpu.models.boundary import (
     BoundaryMPS,
@@ -30,6 +37,11 @@ from tensornetworkforml_tpu.models.canonical import (
 
 __all__ = [
     "product_init",
+    "EnsembleMPS",
+    "ensemble_accuracy",
+    "ensemble_forward",
+    "ensemble_init",
+    "to_direct_sum",
     "BoundaryMPS",
     "boundary_forward",
     "boundary_product_init",
