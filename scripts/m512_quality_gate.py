@@ -46,6 +46,14 @@ def main():
     quality_gates.train_model = _tm
     _tr.train_model = _tm
 
+    # Round-5 root cause of the epoch-4 collapse (val 1.0 -> 0.10 at the
+    # first M=512 epoch, identical across engines, precisions, and a
+    # 100x lr range -- results/m512_stepdiag.json, m512_bisect.json,
+    # m512_twosweep_tpu.json): canonical-gauge junk-norm accumulation in
+    # the label core underflowed the next sweep's env cascades on TPU.
+    # Fixed structurally by the end-of-sweep gauge rebalance
+    # (SweepConfig.norm_spread, auto-on in train_model), so this gate
+    # runs the ORIGINAL config unchanged.
     out = run_config(
         "fashion-m512", lambda: _make_data_for("fashion"),
         N=196, M=512, pool=True, n_epochs=6, lr=0.1,

@@ -28,7 +28,7 @@ import numpy as np
 
 
 def run_config(tag, make_data, N, M, pool, n_epochs, lr, out_path,
-               bond_schedule=None, B=256):
+               bond_schedule=None, B=256, **train_kw):
     import jax
     import jax.numpy as jnp
 
@@ -60,19 +60,26 @@ def run_config(tag, make_data, N, M, pool, n_epochs, lr, out_path,
         L=10, act_fn="linear", loss_fn="MSE", dtype=jnp.float32,
         calibration_x=x_cal[:256],
     )
+    lr_decay = train_kw.pop("lr_decay", 1.0)
+    lr_arg = (
+        lr if lr_decay == 1.0
+        else (lambda e, _lr=lr, _d=lr_decay: _lr * _d ** e)
+    )
     t0 = time.perf_counter()
     mps, val_acc, _ = train_model(
-        mps, tl, vl, lr=lr, n_epochs=n_epochs, weight_dec=1e-5,
+        mps, tl, vl, lr=lr_arg, n_epochs=n_epochs, weight_dec=1e-5,
         L2_flag=False, split_mode="canonical", svd_method="polar"
         if jax.default_backend() == "tpu" else "cholqr",
         verbose=True, warmup_epochs=1 if B > 128 else 0,
-        bond_schedule=bond_schedule, restarts=0,
+        bond_schedule=bond_schedule, restarts=0, **train_kw,
     )
     wall_s = time.perf_counter() - t0
     test_acc = evaluate_accuracy(mps, test_l)
     out = {
         "config": dict(task=tag, N=N, M=M, L=10, B=B, n_epochs=n_epochs,
-                       lr=lr, bond_schedule=bond_schedule,
+                       lr=lr, lr_decay=lr_decay, bond_schedule=bond_schedule,
+                       train_kw={k: v for k, v in train_kw.items()
+                                 if isinstance(v, (int, float, str, bool))},
                        recipe="product_init + canonical + linear/MSE "
                               "+ warmup + no-L2"),
         "backend": jax.default_backend(),

@@ -100,6 +100,18 @@ class SweepConfig(NamedTuple):
     # max fractional growth of sum|B| per step (0 = unlimited, reference
     # behaviour); e.g. 0.005 bounds per-sweep growth to (1.005)^N
     growth_cap: float = 0.0
+    # function-preserving gauge rebalance at the END of every sweep:
+    # rescale the label core to unit max-abs and spread the factor
+    # geometrically across the N-1 live sites (scores unchanged up to
+    # rounding). Canonical-mode splits leak ~10%/bond of ridge junk norm
+    # into dead directions, parking ~1e9 in the label core after one
+    # M=512 sweep while sites shrink to compensate -- site-only env
+    # cascades in the NEXT sweep then underflow f32 on TPU and the
+    # model annihilates to exact zeros (results/m512_twosweep_tpu.json:
+    # sweep 2 in-sweep acc 0.098 on a state whose standalone val is
+    # 1.0, then max|label| = 0.0). train_model auto-enables this for
+    # fixed-rank canonical sweeps.
+    norm_spread: bool = False
     # "xla" (default): the scan body is XLA ops + the configured split.
     # "fused": the ENTIRE two-site step runs as ONE Pallas kernel per
     # scan iteration (ops/kernels/step_kernel.py) -- merge, gradient,
@@ -375,6 +387,22 @@ def two_site_update(
     return A_left, label_new, l_env_new, E2_new, f_new, metrics
 
 
+def _spread_label_norm(new_sites, label_final):
+    """Gauge rebalance: label core to unit max-abs, the norm spread
+    geometrically over the N-1 live sites (slot N-1 is the zero label
+    slot; zeros stay exactly zero under the scalar multiply). The
+    network function is exactly preserved: scores pick up only the
+    rounding of one scalar multiply per tensor."""
+    dtype = new_sites.dtype
+    # scalar math at f32-or-better even when the model is bf16
+    sdt = jnp.promote_types(dtype, jnp.float32)
+    n = jnp.max(jnp.abs(label_final)).astype(sdt)
+    safe = jnp.where(n > 0, n, jnp.asarray(1.0, sdt))
+    n_live = new_sites.shape[0] - 1
+    c = jnp.exp(jnp.log(safe) / n_live).astype(dtype)
+    return new_sites * c, label_final / safe.astype(dtype)
+
+
 def _sweep_right_arrays(
     sites: jnp.ndarray,
     label_site: jnp.ndarray,
@@ -479,6 +507,8 @@ def _sweep_right_arrays(
         new_sites = jnp.concatenate(
             [A_lefts, jnp.zeros((1, M, D, M), dtype=dtype)], axis=0
         )
+        if cfg.norm_spread:
+            new_sites, label_final = _spread_label_norm(new_sites, label_final)
         return new_sites, label_final, f0, f_final, metrics
 
     if cfg.engine == "hybrid":
@@ -584,6 +614,8 @@ def _sweep_right_arrays(
         new_sites = jnp.concatenate(
             [A_lefts, jnp.zeros((1, M, D, M), dtype=dtype)], axis=0
         )
+        if cfg.norm_spread:
+            new_sites, label_final = _spread_label_norm(new_sites, label_final)
         return new_sites, label_final, f0, f_final.astype(dtype), metrics
 
     xs = (
@@ -618,6 +650,8 @@ def _sweep_right_arrays(
     new_sites = jnp.concatenate(
         [A_lefts, jnp.zeros((1, M, D, M), dtype=dtype)], axis=0
     )
+    if cfg.norm_spread:
+        new_sites, label_final = _spread_label_norm(new_sites, label_final)
     return new_sites, label_final, f0, f_final, metrics
 
 

@@ -40,6 +40,12 @@ _DEBUG_SERIES = (
 )
 _PLAIN_SERIES = ("accuracy", "MAE")
 
+# bond dimension at which train_model(norm_spread="auto") engages the
+# end-of-sweep gauge rebalance: M=128 canonical runs are measured-stable
+# in the accumulated gauge (results/fashion_gate.json), M=512 annihilates
+# without it (results/m512_twosweep_tpu.json)
+_NORM_SPREAD_MIN_M = 256
+
 
 def _loader_batches(loader):
     """Yield stacked ``(x, y)`` arrays from ours or reference-style loaders."""
@@ -192,6 +198,7 @@ def train_model(
     stall_min_delta: float = 0.005,
     stall_threshold: float = 0.95,
     factored_update: str = "auto",
+    norm_spread: str = "auto",
 ):
     """Train an MPS; returns ``(mps, val_acc, var_hist)``.
 
@@ -254,6 +261,18 @@ def train_model(
         mps, start_epoch = load_training_state(checkpoint_path, mps)
         if verbose and start_epoch:
             print(f"resuming from epoch {start_epoch}")
+    # gauge hygiene: canonical fixed-rank sweeps park junk ridge norm in
+    # the label core (~1e9 after one large-M sweep) whose compensating
+    # site shrink underflows the NEXT sweep's env cascades in f32 on TPU
+    # and annihilates the model to exact zeros
+    # (results/m512_twosweep_tpu.json). The end-of-sweep rebalance is
+    # function-preserving but NOT dynamics-preserving (clip and step
+    # sizes are gauge-relative), so "auto" engages it per-epoch only in
+    # the underflow-risk regime: canonical fixed-rank sweeps at
+    # M >= _NORM_SPREAD_MIN_M (validated small-M recipes keep their
+    # measured behavior bit-for-bit).
+    spread_auto = norm_spread == "auto"
+    spread = False if spread_auto else bool(norm_spread)
     cfg = SweepConfig(
         act_fn=mps.act_fn,
         loss_fn=mps.loss_fn,
@@ -267,6 +286,7 @@ def train_model(
         rank_mode=rank_mode,
         adaptive_tol=adaptive_tol,
         factored_update=factored_update,
+        norm_spread=spread,
     )
     series = _DEBUG_SERIES if debug else _PLAIN_SERIES
     val_acc: list[float] = []
@@ -311,6 +331,14 @@ def train_model(
                     print(f"epoch {epoch}: growing bond dimension "
                           f"{mps.M} -> {new_M}")
                 mps = grow_bond(mps, new_M)
+            epoch_cfg = cfg
+            if (
+                spread_auto
+                and rank_mode == "fixed"
+                and split_mode == "canonical"
+                and mps.M >= _NORM_SPREAD_MIN_M
+            ):
+                epoch_cfg = cfg._replace(norm_spread=True)
             epoch_loader = (
                 warm_loader if epoch < warmup_epochs else train_loader
             )
@@ -340,7 +368,7 @@ def train_model(
 
                     mps, accs, stepm = fused_epoch(
                         mps, np.stack(xs_np), np.stack(ys_np), epoch_lr,
-                        weight_dec, cfg,
+                        weight_dec, epoch_cfg,
                     )
                     train_accs = [float(a) for a in np.asarray(accs)]
                     epoch_series["accuracy"].append(
@@ -380,7 +408,7 @@ def train_model(
                 y_onehot = y_onehot.at[y, jnp.arange(y.shape[0])].set(1.0)
 
                 mps, f0, _, metrics = sweep_once(
-                    mps, phi, y_onehot, epoch_lr, weight_dec, cfg
+                    mps, phi, y_onehot, epoch_lr, weight_dec, epoch_cfg
                 )
                 batch_acc = float(accuracy_from_scores(f0, y))
                 train_accs.append(batch_acc)
